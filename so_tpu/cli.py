@@ -1,0 +1,286 @@
+"""Command-line driver with full reference flag parity (so.c:192-575).
+
+All 29 reference flags are accepted with identical semantics and defaults:
+-i -o -z -O -L -s -rho -delta -m -p -c -cx -cy -cz -std -M -u -list -grp
+-gtp -pot -subsumed -ignored -stat -mark -dark -gas -star -all
+(-rho is the reference's tombstone: it errors and points at -delta,
+so.c:310-315; -s is parsed but absent from the reference usage text,
+so.c:304-308 — here it is documented.)
+
+Additional so_tpu flags are double-dashed and optional: --tipsy reads the
+snapshot from a file instead of stdin; --verbose adds engine timings.
+"""
+
+from __future__ import annotations
+
+import sys
+import time as _time
+
+import numpy as np
+
+from .cosmology import rhovir_over_rhobar
+from .engine.pipeline import SOParams, run_so
+from .io.catalogs import read_gtp_list, read_mark, read_stat
+from .io.tipsy import DARK, GAS, STAR, MARK, read_tipsy
+from .io.writers import (SPECIES_EXT, write_array_file, write_profile_file,
+                         write_sogtp, write_sovcirc_header, write_sovcirc_rows)
+from .stats import format_stats
+from .units import unit_conversions
+from .version import BANNER
+
+USAGE = """USAGE:
+so_tpu -i <SKID .gtp file> [-o <outfilebase>] [([-dark] [-gas] [-star]) || [-all])]
+      [-mark <markfile>]  [-std]  [-grp] [-gtp] [-subsumed] [-ignored]
+      [-list <File containing group indexes>]
+      [-pot || -stat <SKID .stat file containing most-bound-particle positions>]
+      [-delta <fThreshold>] [-M <fMinGTPMass>] [-m <mMinSOMembers>]
+      [-O <fOmega0>]  [-L]  [-z <fRedshift>]  [-s <nSmooth>]
+      [-p <xyzPeriod>]  [-c <xyzCenter>]
+      [-cx <xCenter>]  [-cy <yCenter>]  [-cz <zCenter>]
+      [-u <fMassUnit> <fMpcUnit>]
+      [--tipsy <snapshot>] [--verbose]
+
+Spherical-overdensity halo characterization (TPU-native engine). For every
+group center in the input .gtp catalog, finds the smallest radius R inside
+which the mean density drops below the threshold, plus enclosed mass,
+quarter/half-mass radii, Vmax and its radius, and Vc at (1/4..2)R; main
+catalog goes to <outfilebase>.sovcirc (default so.sovcirc). The particle
+snapshot is read from stdin (or --tipsy <file>).
+
+  -dark/-gas/-star/-all  per-species 16-bin radial mass profiles to
+                         .sodark/.sogas/.sostar
+  -mark <file>           profile of marked particles to .somark
+  -std                   read/write big-endian ("standard") tipsy binaries
+  -grp/-gtp              write .sogrp membership / .sogtp catalog; ids match
+                         the input .gtp group numbers
+  -pot                   recenter on the minimum-Phi particle within the
+                         input group radius
+  -stat <file>           recenter on SKID .stat most-bound positions
+                         (mutually exclusive with -pot)
+  -delta <d>             overdensity threshold (default: virial density from
+                         cosmology); converted to density via *Omega0
+  -L                     set Lambda0 = 1 - Omega0
+  -z <z>                 redshift (default 1/h.time - 1 from the snapshot)
+  -p/-c/-cx/-cy/-cz      periodic box size and center (default 1, 0);
+                         periodic boundaries are always assumed
+  -M <m>                 minimum input group mass to consider
+  -m <n>                 minimum members for a valid group (default 8)
+  -u <Msol> <Mpc>        output units: Msol, kpc, km/s
+  -subsumed/-ignored     write .sosub/.soign per-particle conflict counters
+
+Groupwise error codes in the Mvir/Rvir columns:
+  -1  fewer than nMembers particles within 1.2x the input group radius
+  -2  density already below threshold at nMembers particles
+  -3  density never below threshold before the give-up radius
+ -Mvir with Rvir = -10*id: subsumed (Vc columns kept) or slurped (zeros) by
+      group <id>; conflicts are resolved processing groups in increasing
+      input mass, larger groups absorbing smaller ones whose centers fall
+      inside their radius (subsume), being absorbed when inside a bigger
+      earlier-processed one (slurp), or leaving ownership untouched while
+      still counting the mass (retain).
+"""
+
+
+def usage(out=sys.stderr) -> "NoReturn":
+    out.write(USAGE)
+    raise SystemExit(1)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    print(BANNER, file=sys.stderr)
+
+    # defaults — so.c:213-263
+    n_bucket = 16               # fixed in the reference; grid analog is auto
+    b_standard = False
+    b_threshold = False
+    f_threshold = 0.0
+    f_min_mass = 0.0
+    n_members = 8
+    f_redshift = -9.9999
+    b_redshift = False
+    f_mass_unit = -9.9
+    f_mpc_unit = -9.9
+    f_omega = 1.0
+    f_lambda = 0.0
+    b_lambda = False
+    b_periodic = 1
+    f_period = [1.0, 1.0, 1.0]
+    f_center = [0.0, 0.0, 0.0]
+    grav, h0 = 1.0, 2.8944      # fixed and unused — so.c:245-247
+    n_smooth = 1028
+    b_dark = b_gas = b_star = b_mark = False
+    b_grp = b_gtp = b_pot = b_subsumed = b_ignored = False
+    gtp_file = list_file = out_base = mark_file = stat_file = None
+    tipsy_file = None
+    verbose = False
+
+    def need(i):
+        if i >= len(argv):
+            usage()
+        return argv[i]
+
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-i":
+            i += 1; gtp_file = need(i); i += 1
+        elif a == "-o":
+            i += 1; out_base = need(i); i += 1
+        elif a == "-z":
+            i += 1; b_redshift = True; f_redshift = float(need(i)); i += 1
+        elif a == "-O":
+            i += 1; f_omega = float(need(i)); i += 1
+        elif a == "-L":
+            i += 1; b_lambda = True
+        elif a == "-s":
+            i += 1; n_smooth = int(need(i)); i += 1
+        elif a == "-rho":
+            sys.stderr.write("-rho option is no longer availible.  Use -delta instead.\n")
+            usage()
+        elif a == "-delta":
+            i += 1; f_threshold = float(need(i)); b_threshold = True; i += 1
+        elif a == "-m":
+            i += 1; n_members = int(need(i)); i += 1
+        elif a == "-p":
+            i += 1; v = float(need(i)); f_period = [v, v, v]; b_periodic = 1; i += 1
+        elif a == "-c":
+            i += 1; v = float(need(i)); f_center = [v, v, v]; i += 1
+        elif a == "-cx":
+            i += 1; f_center[0] = float(need(i)); i += 1
+        elif a == "-cy":
+            i += 1; f_center[1] = float(need(i)); i += 1
+        elif a == "-cz":
+            i += 1; f_center[2] = float(need(i)); i += 1
+        elif a == "-std":
+            b_standard = True; i += 1
+        elif a == "-M":
+            i += 1; f_min_mass = float(need(i)); i += 1
+        elif a == "-u":
+            i += 1; f_mass_unit = float(need(i)); i += 1
+            f_mpc_unit = float(need(i)); i += 1
+        elif a == "-list":
+            i += 1; list_file = need(i); i += 1
+        elif a == "-grp":
+            b_grp = True; i += 1
+        elif a == "-gtp":
+            b_gtp = True; i += 1
+        elif a == "-pot":
+            b_pot = True; i += 1
+            if stat_file is not None:
+                usage()
+        elif a == "-subsumed":
+            b_subsumed = True; i += 1
+        elif a == "-ignored":
+            b_ignored = True; i += 1
+        elif a == "-stat":
+            i += 1; stat_file = need(i); i += 1
+            if b_pot:
+                usage()
+        elif a == "-mark":
+            i += 1; mark_file = need(i); b_mark = True; i += 1
+        elif a == "-dark":
+            b_dark = True; i += 1
+        elif a == "-gas":
+            b_gas = True; i += 1
+        elif a == "-star":
+            b_star = True; i += 1
+        elif a == "-all":
+            b_dark = b_gas = b_star = True; i += 1
+        elif a == "--tipsy":
+            i += 1; tipsy_file = need(i); i += 1
+        elif a == "--verbose":
+            verbose = True; i += 1
+        else:
+            usage()
+
+    if gtp_file is None:
+        usage()
+    if out_base is None:
+        out_base = "so"
+    if b_lambda:
+        f_lambda = 1.0 - f_omega
+
+    # snapshot from stdin (so.c:457) or --tipsy
+    src = tipsy_file if tipsy_file is not None else sys.stdin.buffer
+    particles = read_tipsy(src, b_standard)
+    h = particles.header
+    sys.stderr.write(f"nDark:{h.ndark} nGas:{h.nsph} nStar:{h.nstar}\n")
+    sys.stderr.write(f"Read {particles.n} particles from TIPSY file.\n")
+
+    if b_mark:
+        assert mark_file is not None
+        mask, nmark = read_mark(mark_file, particles.n)
+        particles.mark = mask
+        sys.stderr.write(f"{nmark} mark particles read from {mark_file}\n")
+
+    if not b_redshift:
+        f_redshift = 1.0 / h.time - 1.0   # so.c:470-472
+
+    if not b_threshold:
+        f_threshold = rhovir_over_rhobar(f_omega, b_lambda, f_redshift) * f_omega
+    else:
+        f_threshold *= f_omega            # so.c:479-481
+
+    run_time = _time.time()
+    out_path = f"{out_base}.sovcirc"
+    fp_out = open(out_path, "w")
+    write_sovcirc_header(fp_out, run_time, gtp_file, list_file, stat_file,
+                         np.float32(f_threshold), b_threshold, f_redshift,
+                         f_omega, f_lambda, b_periodic, f_period, f_center,
+                         f_min_mass, n_members, b_pot, f_mass_unit, f_mpc_unit)
+
+    catalog = read_gtp_list(gtp_file, list_file, f_min_mass, b_standard)
+    sys.stderr.write(f"Read {catalog.n} groups to process.\n")
+
+    if stat_file is not None:
+        nrep = read_stat(catalog, stat_file)
+        sys.stderr.write(f"Replaced {nrep} group centers.\n")
+        if nrep != catalog.n:
+            sys.stderr.write("ERROR in reading .stat file!\n")
+            raise SystemExit(1)
+
+    species = tuple(sp for sp, on in
+                    ((DARK, b_dark), (GAS, b_gas), (STAR, b_star), (MARK, b_mark))
+                    if on)
+    params = SOParams(threshold=float(np.float32(f_threshold)),
+                      n_members=n_members,
+                      period=tuple(f_period), center=tuple(f_center),
+                      b_pot=b_pot, species=species, grav=grav, verbose=verbose)
+    run = run_so(particles, catalog, params)
+
+    # stats to stderr and the catalog file (kdOutStats)
+    sys.stderr.write(format_stats(run.stats, for_file=False))
+    fp_out.write(format_stats(run.stats, for_file=True))
+
+    units = unit_conversions(f_mass_unit, f_mpc_unit, f_redshift)
+    for sp in (DARK, GAS, STAR, MARK):
+        if sp in species:
+            write_profile_file(f"{out_base}.{SPECIES_EXT[sp]}", fp_out,
+                               run_time, sp, catalog.index,
+                               run.derived.profiles[sp], units)
+    write_sovcirc_rows(fp_out, catalog.index, run.mvir, run.rvir,
+                       run.derived.rmass, run.derived.rmax, run.derived.vmax,
+                       run.derived.vcirc, units)
+    fp_out.close()
+
+    if b_grp:
+        write_array_file(f"{out_base}.sogrp", run.conflicts.igrp)
+    if b_gtp:
+        write_sogtp(f"{out_base}.sogtp", h.time, catalog.n_in_gtp,
+                    catalog.index, run.mvir, run.rvir, catalog.pos,
+                    run.solve.vcm, b_standard)
+    if b_subsumed:
+        write_array_file(f"{out_base}.sosub", run.conflicts.n_subsumed)
+    if b_ignored:
+        write_array_file(f"{out_base}.soign", run.conflicts.n_ignored)
+
+    sec = int(run.solve_seconds)
+    usec = int((run.solve_seconds - sec) * 1e6)
+    sys.stderr.write("SO CPU Time:")
+    sys.stderr.write("   %d.%06d\n\n" % (sec, usec))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,185 @@
+"""Derived halo quantities — batched kdVcirc + kdMassProfile.
+
+Reference: kdVcirc (kd2.c:498-586) re-gathers each group at 2*Rvir, sorts by
+distance, and derives:
+  - 8 circular-velocity bins at (0.25..2.0)*Rvir: Vc = sqrt(G M(<r)/r) with
+    cumulative mass strictly inside each bin radius; the last bin uses the
+    full gathered mass at exactly 2*Rvir (kd2.c:508-532)
+  - quarter/half-mass radii: distance of the first sorted particle where
+    cumulative mass reaches {0.25, 0.5}*Mvir (kd2.c:537-546)
+  - Vmax/Rmax: max of sqrt(G M(<r)/r) scanning from the nMembers-th particle
+    (kd2.c:549-569), keeping the earliest maximum
+  - 16 cumulative per-species mass-profile bins at (2/16..2.0)*Rvir
+    (kdMassProfile, kd2.c:458-496), species by iOrder range or mark mask
+
+These read only particle positions/masses/types — never group tags — so the
+whole catalog batches into fixed-shape device passes after the conflict
+pass decides eligibility (kdSO runs kdVcirc only when rvir > 0 and the
+group wasn't slurped during its own tagging, kd2.c:884).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.tipsy import DARK, GAS, STAR, MARK
+from ..ops.gather import ragged_ball_gather
+from ..ops.grid import CellGrid
+
+NVCIRC = 8          # kd2.h:10
+NMASSPROFILE = 16   # kd2.h:12
+
+
+@dataclass
+class DerivedResult:
+    vcirc: np.ndarray     # (G, NVCIRC) f32
+    rmass: np.ndarray     # (G, 2) f32 — quarter/half mass radii
+    rmax: np.ndarray      # (G,) f32
+    vmax: np.ndarray      # (G,) f32
+    profiles: dict        # species -> (G, NMASSPROFILE) f32 for requested species
+
+
+@partial(jax.jit, static_argnames=("level", "K", "S", "n_members", "species"))
+def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
+                   species: tuple, centers, rvir, mvir, grav):
+    B = centers.shape[0]
+    fball = jnp.float32(2.0) * rvir
+    fball2 = fball * fball
+    g = ragged_ball_gather(grid, level, centers, fball, fball2, K, S, sort=True)
+    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+    valid = slot < g.n_in[:, None]
+    mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
+    cum = jnp.cumsum(mass_s, axis=1)
+    rows = jnp.arange(B)
+    n_in = g.n_in
+
+    def cum_at(counts, c):
+        return jnp.where(counts > 0, c[rows, jnp.maximum(counts - 1, 0)], 0.0)
+
+    total_mass = cum_at(n_in, cum)
+
+    # Vc bins (kd2.c:508-532): strict d2 < r^2 cumulative mass
+    vcs = []
+    for i in range(NVCIRC - 1):
+        f = jnp.float32((i + 1) * (2.0 / NVCIRC))
+        r = f * rvir
+        cnt = (valid & (g.d2 < (r * r)[:, None])).sum(axis=1)
+        m = cum_at(cnt, cum)
+        vcs.append(jnp.sqrt(grav * m / r))
+    vcs.append(jnp.sqrt(grav * total_mass / fball))
+    vcirc = jnp.stack(vcs, axis=1)
+
+    # quarter/half mass radii (kd2.c:537-546); the reference has no bounds
+    # guard — we clamp to the last gathered particle
+    rmass = []
+    for f in (0.25, 0.5):
+        m = jnp.float32(f) * mvir
+        ge = cum >= m[:, None]
+        has = ge.any(axis=1)
+        jq = jnp.where(has, jnp.argmax(ge, axis=1), jnp.maximum(n_in - 1, 0))
+        rmass.append(jnp.sqrt(g.d2[rows, jq]))
+    rmass = jnp.stack(rmass, axis=1)
+
+    # Vmax/Rmax (kd2.c:549-569): scan from the nMembers-th particle,
+    # earliest maximum wins (strict > update)
+    r_s = jnp.sqrt(g.d2)
+    vc_all = jnp.sqrt(grav * cum / r_s)
+    vc_all = jnp.where((slot >= n_members - 1) & valid, vc_all, -jnp.inf)
+    jm = jnp.argmax(vc_all, axis=1)
+    vmax = vc_all[rows, jm]
+    rmax = r_s[rows, jm]
+    none = ~jnp.isfinite(vmax)
+    vmax = jnp.where(none, 0.0, vmax)
+    rmax = jnp.where(none, 0.0, rmax)
+
+    # species mass profiles (kdMassProfile, kd2.c:458-496)
+    profs = {}
+    ptype_s = grid.ptype[g.idx]
+    mark_s = grid.mark[g.idx]
+    for sp in species:
+        sel = mark_s if sp == MARK else (ptype_s == sp)
+        cumsp = jnp.cumsum(jnp.where(sel, mass_s, 0.0), axis=1)
+        bins = []
+        for i in range(NMASSPROFILE - 1):
+            f = jnp.float32((i + 1) * (2.0 / NMASSPROFILE))
+            r = f * rvir
+            cnt = (valid & (g.d2 < (r * r)[:, None])).sum(axis=1)
+            bins.append(cum_at(cnt, cumsp))
+        bins.append(cum_at(n_in, cumsp))   # last bin: everything <= 2 Rvir
+        profs[sp] = jnp.stack(bins, axis=1)
+
+    return dict(vcirc=vcirc, rmass=rmass, rmax=rmax, vmax=vmax,
+                profiles=profs, overflow=g.overflow, n_in=n_in)
+
+
+def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
+                    mvir: np.ndarray, j_interior: np.ndarray,
+                    eligible: np.ndarray, n_members: int = 8,
+                    species: tuple = (), grav: float = 1.0,
+                    s_max: int = 11, slot_budget: int = 1 << 23) -> DerivedResult:
+    """Batched derived quantities for all eligible halos; zeros otherwise."""
+    from .solver import _pick_level, _pad_to_bucket
+
+    G = centers.shape[0]
+    out = DerivedResult(
+        vcirc=np.zeros((G, NVCIRC), np.float32),
+        rmass=np.zeros((G, 2), np.float32),
+        rmax=np.zeros(G, np.float32),
+        vmax=np.zeros(G, np.float32),
+        profiles={sp: np.zeros((G, NMASSPROFILE), np.float32) for sp in species},
+    )
+    todo = np.nonzero(eligible)[0]
+    if todo.size == 0:
+        return out
+    centers = np.asarray(centers, np.float32)
+    rvir = np.asarray(rvir, np.float32)
+    mvir = np.asarray(mvir, np.float32)
+    npart = grid.n
+    grav32 = jnp.float32(grav)
+
+    # capacity estimate: interior count scales ~8x from Rvir to 2 Rvir
+    need_cap = 2 ** np.ceil(np.log2(np.maximum(
+        j_interior.astype(np.int64) * 12 + 256, 256))).astype(np.int64)
+    guard = 0
+    while todo.size:
+        guard += 1
+        if guard > 64:
+            raise RuntimeError("derived-quantity escalation runaway")
+        next_todo = []
+        for capacity in np.unique(need_cap[todo]):
+            sel = todo[need_cap[todo] == capacity]
+            K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
+            cover = (2.0 * rvir[sel]).astype(np.float32)
+            level = _pick_level(grid, float(cover.max()), s_max)
+            chunk = max(1, int(slot_budget // K))
+            for lo in range(0, sel.size, chunk):
+                part = sel[lo:lo + chunk]
+                B = _pad_to_bucket(part.size)
+                c_pad = np.zeros((B, 3), np.float32)
+                r_pad = np.full(B, 1e-30, np.float32)
+                m_pad = np.zeros(B, np.float32)
+                c_pad[:part.size] = centers[part]
+                r_pad[:part.size] = rvir[part]
+                m_pad[:part.size] = mvir[part]
+                o = _derived_stage(grid, level, K, s_max, n_members, species,
+                                   jnp.asarray(c_pad), jnp.asarray(r_pad),
+                                   jnp.asarray(m_pad), grav32)
+                ovf = np.asarray(o["overflow"])[:part.size]
+                ok = ~ovf
+                idx = part[ok]
+                out.vcirc[idx] = np.asarray(o["vcirc"])[:part.size][ok]
+                out.rmass[idx] = np.asarray(o["rmass"])[:part.size][ok]
+                out.rmax[idx] = np.asarray(o["rmax"])[:part.size][ok]
+                out.vmax[idx] = np.asarray(o["vmax"])[:part.size][ok]
+                for sp in species:
+                    out.profiles[sp][idx] = np.asarray(o["profiles"][sp])[:part.size][ok]
+                bad = part[~ok]
+                need_cap[bad] = np.minimum(need_cap[bad] * 4, 2 * npart)
+                next_todo.extend(bad.tolist())
+        todo = np.asarray(next_todo, np.int64)
+    return out

@@ -1,0 +1,125 @@
+"""End-to-end SO pipeline — the TPU-native equivalent of main() (so.c:192-575).
+
+Stage order preserves the reference's observable semantics:
+  1. build the spatial index over all particles           (kdBuildTree)
+  2. optional -pot recentring, batched over all halos     (kd2.c:749-761)
+  3. batched R_Delta solve for all halos                  (kdRvir)
+  4. interior-member extraction                           (gather at d2cut)
+  5. mass-ordered conflict pass on host                   (kdSO + kdTagParticles)
+  6. batched derived quantities for eligible halos        (kdVcirc)
+  7. stats                                                (kdOutStats)
+
+Steps 2-4 and 6 are order-free in the reference (they read only particle
+data), which is what makes the batched formulation exact; only step 5 is
+sequential, and it runs vectorized per halo on the host.
+"""
+
+from __future__ import annotations
+
+import sys
+import time as _time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.catalogs import GroupCatalog
+from ..io.tipsy import DARK, GAS, STAR, MARK, ParticleSet
+from ..numerics import indexx
+from ..ops.grid import CellGrid, build_grid
+from ..stats import RunStats, compute_stats
+from .conflicts import ConflictState, resolve_conflicts
+from .derived import DerivedResult, compute_derived
+from .members import extract_members
+from .recenter import recenter_most_bound
+from .solver import SolveResult, solve_rvir
+
+
+@dataclass
+class SOParams:
+    """Engine parameters (CLI defaults mirror so.c:213-263)."""
+    threshold: float = 178.0           # density in box units (already * Omega)
+    n_members: int = 8
+    period: tuple = (1.0, 1.0, 1.0)
+    center: tuple = (0.0, 0.0, 0.0)
+    b_pot: bool = False
+    species: tuple = ()                # subset of (DARK, GAS, STAR, MARK)
+    grav: float = 1.0
+    grid_m: int | None = None
+    verbose: bool = False
+
+
+@dataclass
+class SORun:
+    """Everything the writers and stats need."""
+    catalog: GroupCatalog              # with final (possibly recentred) centers
+    solve: SolveResult                 # pre-conflict Mvir/Rvir/j/vcm
+    conflicts: ConflictState           # final igrp / counters / mutated Mvir,Rvir
+    derived: DerivedResult
+    stats: RunStats
+    order: np.ndarray                  # processing order (ascending GTP mass)
+    solve_seconds: float = 0.0
+
+    # catalog-facing columns (post-conflict)
+    @property
+    def mvir(self):
+        return self.conflicts.mvir
+
+    @property
+    def rvir(self):
+        return self.conflicts.rvir
+
+
+def run_so(particles: ParticleSet, catalog: GroupCatalog, params: SOParams,
+           grid: CellGrid | None = None) -> SORun:
+    t_all0 = _time.perf_counter()
+    if grid is None:
+        grid = build_grid(
+            particles.pos, particles.mass, vel=particles.vel,
+            phi=particles.phi, ptype=particles.ptype_all(),
+            mark=(particles.mark if particles.mark is not None else None),
+            period=params.period, center=params.center, m=params.grid_m)
+
+    centers = np.asarray(catalog.pos, np.float32).copy()
+    rgtp = np.asarray(catalog.rgtp, np.float32)
+
+    if params.b_pot:
+        centers = recenter_most_bound(grid, centers, rgtp)
+        catalog.pos = centers
+
+    t0 = _time.perf_counter()
+    solve = solve_rvir(grid, centers, rgtp, params.threshold,
+                       n_members=params.n_members)
+
+    ok = solve.code == 0
+    members_ok = extract_members(grid, centers[ok], solve.d2cut[ok],
+                                 solve.j[ok])
+    members: list = [None] * catalog.n
+    for slot, h in enumerate(np.nonzero(ok)[0]):
+        members[h] = members_ok[slot]
+
+    # ascending input-mass processing order (kdSortMass, kd2.c:843-861)
+    order = indexx(np.asarray(catalog.gtp_mass, np.float32))
+
+    conflicts = resolve_conflicts(catalog.index, centers, solve.mvir,
+                                  solve.rvir, solve.code, order, members,
+                                  particles.n)
+
+    eligible = ok & ~conflicts.slurped_own     # kdSO eligibility (kd2.c:884)
+    derived = compute_derived(grid, centers, solve.rvir, solve.mvir, solve.j,
+                              eligible, n_members=params.n_members,
+                              species=tuple(params.species), grav=params.grav)
+    solve_seconds = _time.perf_counter() - t0
+
+    stats = compute_stats(np.asarray(particles.mass), conflicts.igrp,
+                          conflicts.n_subsumed, conflicts.n_ignored,
+                          conflicts.mvir, conflicts.groups_removed,
+                          conflicts.groups_slurped)
+
+    if params.verbose:
+        print(f"so_tpu: solved {catalog.n} groups over {particles.n} particles "
+              f"in {solve_seconds:.3f}s (total {_time.perf_counter()-t_all0:.3f}s)",
+              file=sys.stderr)
+
+    return SORun(catalog=catalog, solve=solve, conflicts=conflicts,
+                 derived=derived, stats=stats, order=order,
+                 solve_seconds=solve_seconds)

@@ -1,0 +1,79 @@
+"""-pot most-bound recentring — reference: kdRvir's bPot block (kd2.c:749-761).
+
+Before the ball ladder runs, each group's center is permanently replaced by
+the position of the minimum-fPhi particle within radius Rgtp of the input
+center. This is independent per halo (it reads only particle data), so it
+runs as one batched pass over all halos before the solver.
+
+Tie-breaking note: the reference keeps the first minimum in kd-tree
+traversal order (strict '<', kd2.c:754-759); we keep the first minimum in
+(phi, cell-order) order. Identical whenever phi values are distinct.
+
+Degenerate case: an empty Rgtp ball makes the reference read stale list
+memory (smx->nnList[0] from the previous gather); we keep the original
+center instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gather import ragged_ball_gather
+from ..ops.grid import CellGrid
+
+
+@partial(jax.jit, static_argnames=("level", "K", "S"))
+def _recenter_stage(grid: CellGrid, level: int, K: int, S: int, centers, radii):
+    g = ragged_ball_gather(grid, level, centers, radii, radii * radii, K, S,
+                           sort=False)
+    slot_valid = jnp.isfinite(g.d2)
+    phi = jnp.where(slot_valid, grid.phi[g.idx], jnp.inf)
+    amin = jnp.argmin(phi, axis=1)
+    rows = jnp.arange(centers.shape[0])
+    best = grid.pos[g.idx[rows, amin]]
+    new_centers = jnp.where((g.n_in > 0)[:, None], best, centers)
+    return new_centers, g.n_in, g.overflow
+
+
+def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
+                        k0_cap: int = 4096, s_max: int = 11,
+                        slot_budget: int = 1 << 23) -> np.ndarray:
+    """Batched recentring for all halos; escalates capacity on overflow."""
+    from .solver import _pick_level, _pad_to_bucket
+
+    G = centers.shape[0]
+    centers = np.asarray(centers, np.float32)
+    radii_all = np.asarray(rgtp, np.float32)
+    out = centers.copy()
+    todo = np.arange(G)
+    capacity = k0_cap
+    npart = grid.n
+    while todo.size:
+        K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
+        radii = radii_all[todo]
+        level = _pick_level(grid, float(radii.max()) if radii.size else 0.0, s_max)
+        chunk = max(1, int(slot_budget // K))
+        still = []
+        for lo in range(0, todo.size, chunk):
+            part = todo[lo:lo + chunk]
+            B = _pad_to_bucket(part.size)
+            c_pad = np.zeros((B, 3), np.float32)
+            r_pad = np.zeros(B, np.float32)
+            c_pad[:part.size] = centers[part]
+            r_pad[:part.size] = radii_all[part]
+            nc, n_in, ovf = _recenter_stage(grid, level, K, s_max,
+                                            jnp.asarray(c_pad), jnp.asarray(r_pad))
+            nc = np.asarray(nc)[:part.size]
+            ovf = np.asarray(ovf)[:part.size]
+            out[part[~ovf]] = nc[~ovf]
+            still.append(part[ovf])
+        todo = np.concatenate(still) if still else np.zeros(0, np.int64)
+        capacity *= 4
+        if capacity > max(4 * npart, k0_cap):
+            if todo.size:
+                raise RuntimeError("recentring escalation runaway")
+    return out

@@ -1,0 +1,293 @@
+"""Batched R_Delta solver — the TPU-native kdRvir (reference: kd2.c:723-840).
+
+Semantics being reproduced exactly (see also SURVEY.md section 7):
+
+The reference grows a gather ball from Rgtp by x1.2 per pass (first gather at
+1.2*Rgtp, kd2.c:745-769), sorts hits by distance, and scans cumulative mass
+until the enclosed density drops below threshold for two consecutive
+particles (kd2.c:804-831). Because the scan state carries across ball
+regrows and each consecutive pair is evaluated exactly once, the whole
+procedure is equivalent to a single scan over the globally distance-sorted
+particle list limited to the *last* ball radius of the ladder:
+
+    cum(i)  = sum of sorted masses m_0..m_i
+    rho(i)  = cum(i) / ((4/3) pi d2(i)^(3/2))          (rhoEnclosed, kd2.c:588)
+    cond(i) = rho(i) < thr  and  rho(i+1) < thr
+    j* = first i >= nMembers-2 with cond(i) and i+1 inside the ball ladder
+
+    j* == nMembers-2            -> error -2   (kd2.c:785-796)
+    j*  > nMembers-2            -> Mvir = cum(j*-1), Rvir = (Mvir/((4/3)pi thr))^(1/3),
+                                   interior = sorted particles 0..j*-1 (kd2.c:814-823)
+    no j* within the ladder cap -> error -3   (kd2.c:836-839)
+    first ball (radius 1.2*Rgtp) holds < nMembers particles -> error -1 (kd2.c:772-778)
+    Rgtp already >= 0.25*|period| (loop never entered)      -> error -3
+
+The ladder cap is the first radius Rgtp*1.2^k >= 0.25*sqrt(px^2+py^2+pz^2),
+iterated in float32 exactly like the reference's repeated float multiply.
+
+TPU realization: per capacity tier, one fixed-shape jitted program gathers
+candidates for the whole halo batch via the cell grid, sorts by distance,
+computes the cumulative-mass density scan vectorized, and emits result /
+escalate-to-next-tier flags. The host driver only routes halos between
+tiers (mirroring the reference's own regrow loop, but batched).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gather import ragged_ball_gather
+from ..ops.grid import CellGrid
+
+FOUR_THIRDS_PI = np.float32(4.0 / 3.0 * np.pi)  # rhoEnclosed's 1.33333333*M_PI (kd2.c:592)
+
+
+# ---------------------------------------------------------------------------
+# Ball ladder (host): float32-faithful emulation of the regrow loop
+# ---------------------------------------------------------------------------
+
+def rvir_ladder(rgtp: np.ndarray, period) -> tuple[np.ndarray, np.ndarray]:
+    """Per-halo (kmax, cap): number of x1.2 growths until the give-up bound.
+
+    Mirrors the loop head ``while (fBall < 0.25*fRootPeriod) fBall *= 1.2``
+    (kd2.c:765-767) in float32. kmax == 0 means the loop never runs
+    (immediate -3). The first gather radius is ladder step k=1.
+    """
+    period = np.asarray(period, np.float32)
+    root = np.float32(np.sqrt(np.float64(period[0] * period[0]
+                                         + period[1] * period[1]
+                                         + period[2] * period[2])))
+    cap = 0.25 * np.float64(root)
+    fball = np.asarray(rgtp, np.float32).copy()
+    kmax = np.zeros(fball.shape, np.int32)
+    live = np.float64(fball) < cap
+    while live.any():
+        fball[live] = (fball[live] * np.float32(1.2)).astype(np.float32)
+        kmax[live] += 1
+        live = np.float64(fball) < cap
+    return kmax, np.float32(cap)
+
+
+def ladder_radius(rgtp: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Rgtp * 1.2^k by repeated float32 multiplication (per-halo k)."""
+    r = np.asarray(rgtp, np.float32).copy()
+    k = np.asarray(k)
+    if k.size == 0:
+        return r
+    for step in range(int(k.max()) if k.size else 0):
+        sel = k > step
+        r[sel] = (r[sel] * np.float32(1.2)).astype(np.float32)
+    return r
+
+
+# ---------------------------------------------------------------------------
+# Stage kernel (device)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("level", "K", "S", "n_members"))
+def _solve_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
+                 centers, radii, thr):
+    """One capacity tier: gather+sort+scan for a batch of halos.
+
+    Returns per halo: n_in (hits at this radius, for the -1 check),
+    overflow, found (success or -2), jstar, mvir, rvir, d2cut, vcm.
+    """
+    g = ragged_ball_gather(grid, level, centers, radii, radii * radii, K, S,
+                           sort=True)
+    B = centers.shape[0]
+    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+    valid = slot < g.n_in[:, None]
+
+    mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
+    cum = jnp.cumsum(mass_s, axis=1)
+
+    # rho(i) = cum(i) / ((4/3) pi d2^(3/2)) — rhoEnclosed (kd2.c:588-593)
+    r3 = g.d2 * jnp.sqrt(g.d2)
+    rho = cum / (FOUR_THIRDS_PI * r3)
+
+    rho_next = jnp.concatenate([rho[:, 1:], jnp.full((B, 1), jnp.inf)], axis=1)
+    pair_ok = ((rho < thr) & (rho_next < thr)
+               & (slot + 1 < g.n_in[:, None])
+               & (slot >= n_members - 2))
+    found = pair_ok.any(axis=1)
+    jstar = jnp.argmax(pair_ok, axis=1).astype(jnp.int32)
+
+    jm1 = jnp.maximum(jstar - 1, 0)
+    rows = jnp.arange(B)
+    mvir = cum[rows, jm1]
+    d2cut = g.d2[rows, jm1]
+    # Rvir derived from Mvir, not a particle distance (kd2.c:816-819)
+    rvir = jnp.cbrt(mvir / (FOUR_THIRDS_PI * thr))
+
+    # group mean velocity over the j interior particles (_VcmParticles,
+    # kd2.c:595-609) — mass-weighted over sorted prefix [0, jstar)
+    interior = slot < jstar[:, None]
+    w = jnp.where(interior, mass_s, 0.0)
+    vel_s = grid.vel[g.idx]
+    vcm = (w[:, :, None] * vel_s).sum(axis=1) / mvir[:, None]
+
+    return dict(n_in=g.n_in, overflow=g.overflow, found=found, jstar=jstar,
+                mvir=mvir, rvir=rvir, d2cut=d2cut, vcm=vcm)
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SolveResult:
+    """Per-halo R_Delta solve output (pre-conflict-resolution)."""
+    code: np.ndarray    # (G,) i32: 0 ok; -1/-2/-3 reference error codes
+    mvir: np.ndarray    # (G,) f32: cum mass strictly inside Rvir (or error code)
+    rvir: np.ndarray    # (G,) f32: derived radius (or error code)
+    j: np.ndarray       # (G,) i32: interior particle count
+    d2cut: np.ndarray   # (G,) f32: d2 of the (j-1)-th sorted particle
+    vcm: np.ndarray     # (G,3) f32: mass-weighted mean velocity of interior
+
+
+def _pick_level(grid: CellGrid, rmax: float, s_max: int) -> int:
+    """Finest level whose S_MAX-cube covers radius rmax."""
+    period = np.asarray(grid.period, np.float32)
+    for g in range(grid.m + 1):
+        cs = float(period.min()) / grid.ncell(g)
+        if 2 * int(np.ceil(rmax / cs)) + 2 <= s_max:
+            return g
+    return grid.m
+
+
+def _pad_to_bucket(n: int, buckets=(256, 1024, 4096)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 4095) // 4096) * 4096
+
+
+def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
+               thr: float, n_members: int = 8,
+               k0_cap: int = 4096, s_max: int = 11,
+               slot_budget: int = 1 << 23,
+               progress=None) -> SolveResult:
+    """Solve R_Delta for every halo (batched, staged capacity escalation)."""
+    G = centers.shape[0]
+    period = np.asarray(grid.period, np.float32)
+    centers = np.asarray(centers, np.float32)
+    rgtp = np.asarray(rgtp, np.float32)
+    thr32 = jnp.float32(thr)
+
+    code = np.zeros(G, np.int32)
+    mvir = np.zeros(G, np.float32)
+    rvir = np.zeros(G, np.float32)
+    jout = np.zeros(G, np.int32)
+    d2cut = np.zeros(G, np.float32)
+    vcm = np.zeros((G, 3), np.float32)
+    resolved = np.zeros(G, bool)
+
+    kmax, _cap = rvir_ladder(rgtp, period)
+
+    # loop never entered -> immediate -3 (kd2.c:766, 836-839)
+    zero_iter = kmax == 0
+    code[zero_iter] = -3
+    mvir[zero_iter] = -3.0
+    rvir[zero_iter] = -3.0
+    resolved |= zero_iter
+
+    # per-halo tier state
+    cur_k = np.ones(G, np.int32)          # ladder exponent (first gather: k=1)
+    cur_cap = np.full(G, k0_cap, np.int64)
+    minus1_open = np.ones(G, bool)        # -1 check still undecided
+    DK = 4                                # ladder exponents per escalation
+
+    npart = grid.n
+    guard = 0
+    while not resolved.all():
+        guard += 1
+        if guard > 200:
+            raise RuntimeError("solver failed to converge (escalation runaway)")
+        live = np.nonzero(~resolved)[0]
+        # group live halos by capacity tier
+        caps = np.unique(cur_cap[live])
+        for capacity in caps:
+            sel = live[cur_cap[live] == capacity]
+            # capacity never needs to exceed the particle count (a >=N tier
+            # is a guaranteed-complete brute-force gather)
+            K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
+            k_eff = np.minimum(cur_k[sel], kmax[sel])
+            radii = ladder_radius(rgtp[sel], k_eff)
+            level = _pick_level(grid, float(radii.max()), s_max)
+            # chunk to bound B*K device memory
+            chunk = max(1, int(slot_budget // K))
+            for lo in range(0, sel.size, chunk):
+                part = sel[lo:lo + chunk]
+                B = _pad_to_bucket(part.size)
+                c_pad = np.zeros((B, 3), np.float32)
+                r_pad = np.zeros(B, np.float32)
+                c_pad[:part.size] = centers[part]
+                r_pad[:part.size] = radii[lo:lo + chunk]
+                out = _solve_stage(grid, level, K, s_max, n_members,
+                                   jnp.asarray(c_pad), jnp.asarray(r_pad), thr32)
+                n_in = np.asarray(out["n_in"])[:part.size]
+                ovf = np.asarray(out["overflow"])[:part.size]
+                found = np.asarray(out["found"])[:part.size]
+                jstar = np.asarray(out["jstar"])[:part.size]
+                o_mvir = np.asarray(out["mvir"])[:part.size]
+                o_rvir = np.asarray(out["rvir"])[:part.size]
+                o_d2c = np.asarray(out["d2cut"])[:part.size]
+                o_vcm = np.asarray(out["vcm"])[:part.size]
+
+                at_cap_k = cur_k[part] >= kmax[part]
+
+                # -1: first ladder radius holds < nMembers (kd2.c:772-778).
+                # Decidable negative when n_in >= nMembers (any capacity);
+                # decidable positive only without overflow.
+                m1 = minus1_open[part]
+                is_m1 = m1 & ~ovf & (n_in < n_members)
+                minus1_open[part[n_in >= n_members]] = False
+
+                # resolutions (only trustworthy without overflow)
+                ok = ~ovf
+                is_m2 = ok & found & (jstar == n_members - 2) & ~is_m1
+                is_succ = ok & found & (jstar > n_members - 2) & ~is_m1
+                is_m3 = ok & ~found & at_cap_k & ~is_m1 & ~minus1_open[part]
+
+                idx = part[is_m1]
+                code[idx] = -1; mvir[idx] = -1.0; rvir[idx] = -1.0; resolved[idx] = True
+                idx = part[is_m2]
+                code[idx] = -2; mvir[idx] = -2.0; rvir[idx] = -2.0; resolved[idx] = True
+                idx = part[is_m3]
+                code[idx] = -3; mvir[idx] = -3.0; rvir[idx] = -3.0; resolved[idx] = True
+                idx = part[is_succ]
+                code[idx] = 0
+                mvir[idx] = o_mvir[is_succ]
+                rvir[idx] = o_rvir[is_succ]
+                jout[idx] = jstar[is_succ]
+                d2cut[idx] = o_d2c[is_succ]
+                vcm[idx] = o_vcm[is_succ]
+                resolved[idx] = True
+
+                # escalation for the rest
+                rest = ~(is_m1 | is_m2 | is_succ | is_m3)
+                # overflow (or -1 undecided under overflow): more capacity,
+                # same radius — mirrors smGrowList (smooth2.c:49-55)
+                grow_cap = rest & ovf
+                cur_cap[part[grow_cap]] = np.minimum(
+                    cur_cap[part[grow_cap]] * 4, max(npart * 2, k0_cap))
+                # no overflow, nothing found, ladder not exhausted: grow ball
+                grow_ball = rest & ~ovf & ~at_cap_k
+                gi = part[grow_ball]
+                cur_k[gi] = np.minimum(cur_k[gi] + DK, kmax[gi])
+                # pre-size capacity for the larger ball from observed density
+                vol_ratio = int(np.ceil(1.2 ** (3 * DK)))
+                est = (n_in[grow_ball].astype(np.int64) + 64) * vol_ratio
+                cur_cap[gi] = np.maximum(cur_cap[gi],
+                                         np.minimum(2 ** np.ceil(np.log2(
+                                             np.maximum(est, 1))).astype(np.int64),
+                                             max(npart * 2, k0_cap)))
+                if progress is not None:
+                    progress(resolved.sum(), G)
+    return SolveResult(code=code, mvir=mvir, rvir=rvir, j=jout, d2cut=d2cut,
+                       vcm=vcm)

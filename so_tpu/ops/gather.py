@@ -1,0 +1,121 @@
+"""Batched ragged ball gather — the TPU-native smBallGather.
+
+The reference gathers one ball at a time by walking the kd-tree with the
+periodic INTERSECT prune and scanning leaf buckets (smooth2.c:58-114,
+kd2.h:154-253). Here a whole batch of balls is gathered in one fixed-shape
+XLA program:
+
+  1. enumerate the S^3 cube of level-g cells covering each ball (periodic
+     wrap on cell indices; offsets beyond the needed span are masked),
+  2. prune cells whose min distance to the center exceeds the ball radius
+     (the INTERSECT role),
+  3. turn the ragged per-cell CSR ranges into a dense K-slot index vector
+     per ball with a scatter+cumsum trick (no per-cell padding),
+  4. gather positions, compute min-image distances, mask to the ball, and
+     (optionally) sort each ball's hits by distance.
+
+Capacity K and cube side S are static; the host escalates K when a ball
+overflows, mirroring the reference's nnList regrow (smooth2.c:49-55).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .grid import CellGrid, morton_encode
+
+
+class GatherResult(NamedTuple):
+    d2: jnp.ndarray        # (B, K) f32 — sorted ascending if sort=True; +inf pad
+    idx: jnp.ndarray       # (B, K) i32 — rows into the grid's sorted particle SoA
+    n_in: jnp.ndarray      # (B,)  i32 — hits with d2 <= r2_mask
+    overflow: jnp.ndarray  # (B,)  bool — candidate count exceeded K
+
+
+def min_image(delta, period):
+    """Min-image displacement: the vector analog of the INTERSECT shift
+    selection (kd2.h:154-253). Exact for |delta| < 1.5 * period."""
+    return delta - period * jnp.round(delta / period)
+
+
+@partial(jax.jit, static_argnames=("level", "K", "S", "sort"))
+def ragged_ball_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
+                       K: int, S: int, sort: bool = True) -> GatherResult:
+    """Gather all particles with min-image d2 <= r2_mask around each center.
+
+    ``radii`` sets the cell-cube coverage (must satisfy radii^2 >= r2_mask);
+    ``r2_mask`` is the inclusive distance-squared acceptance threshold,
+    matching the reference's ``fDist2 <= fBall2`` test (smooth2.c:95).
+    """
+    ncg = grid.ncell(level)
+    cs = grid.cell_size(level)                       # (3,)
+    starts = grid.starts[level]
+    n = grid.n
+    B = centers.shape[0]
+
+    uc = centers - grid.lo
+    uc = uc - jnp.floor(uc / grid.period) * grid.period   # wrapped center (B,3)
+
+    r = radii[:, None]                                # (B,1)
+    i_lo = jnp.floor((uc - r) / cs).astype(jnp.int32)  # (B,3)
+    i_hi = jnp.floor((uc + r) / cs).astype(jnp.int32)
+    span = jnp.minimum(i_hi - i_lo + 1, ncg)           # (B,3)
+
+    offs = jnp.arange(S, dtype=jnp.int32)
+    coords = i_lo[:, :, None] + offs[None, None, :]    # (B,3,S) unwrapped
+    axis_ok = offs[None, None, :] < span[:, :, None]   # (B,3,S)
+
+    # per-axis min distance from the (wrapped) center to the cell slab,
+    # computed in unwrapped ball coordinates (the cube is contiguous there)
+    lo_edge = coords.astype(jnp.float32) * cs[None, :, None]
+    hi_edge = lo_edge + cs[None, :, None]
+    d_ax = jnp.maximum(jnp.maximum(lo_edge - uc[:, :, None],
+                                   uc[:, :, None] - hi_edge), 0.0)  # (B,3,S)
+
+    cw = jnp.mod(coords, ncg)                          # wrapped cell coords
+
+    # cube assembly: flat cell index c = ((ox*S)+oy)*S+oz
+    code = morton_encode(
+        cw[:, 0, :, None, None],
+        cw[:, 1, None, :, None],
+        cw[:, 2, None, None, :],
+    ).reshape(B, S * S * S)
+    d2min = (d_ax[:, 0, :, None, None] ** 2
+             + d_ax[:, 1, None, :, None] ** 2
+             + d_ax[:, 2, None, None, :] ** 2).reshape(B, S * S * S)
+    cell_ok = (axis_ok[:, 0, :, None, None]
+               & axis_ok[:, 1, None, :, None]
+               & axis_ok[:, 2, None, None, :]).reshape(B, S * S * S)
+    cell_ok = cell_ok & (d2min <= r2_mask[:, None])
+
+    st = starts[code]
+    cnt = jnp.where(cell_ok, starts[code + 1] - st, 0)  # (B,C)
+
+    q = jnp.cumsum(cnt, axis=1) - cnt                   # exclusive prefix
+    total = q[:, -1] + cnt[:, -1]
+    overflow = total > K
+
+    # ragged->dense: piecewise-constant "jump" per cell, materialized by a
+    # scatter of jump-diffs at each cell's output offset + a cumsum.
+    jumps = st - q
+    dif = jnp.concatenate([jumps[:, :1], jumps[:, 1:] - jumps[:, :-1]], axis=1)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    acc = jnp.zeros((B, K), jnp.int32).at[rows, q].add(dif, mode="drop")
+    gidx = jnp.cumsum(acc, axis=1) + jnp.arange(K, dtype=jnp.int32)[None, :]
+    slot_ok = jnp.arange(K, dtype=jnp.int32)[None, :] < jnp.minimum(total, K)[:, None]
+    gidx = jnp.clip(gidx, 0, n - 1)
+
+    p = grid.pos[gidx]                                  # (B,K,3)
+    d = min_image(centers[:, None, :] - p, grid.period[None, None, :])
+    d2 = d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1] + d[..., 2] * d[..., 2]
+    valid = slot_ok & (d2 <= r2_mask[:, None])
+    n_in = valid.sum(axis=1).astype(jnp.int32)
+
+    key = jnp.where(valid, d2, jnp.inf)
+    if sort:
+        key, gidx = jax.lax.sort((key, gidx), num_keys=1, is_stable=True)
+    return GatherResult(d2=key, idx=gidx, n_in=n_in, overflow=overflow)

@@ -120,6 +120,11 @@ def main(argv=None) -> int:
             usage()
         return argv[i]
 
+    def ffloat(s):
+        # the reference parses every numeric flag into a C float (so.c:200);
+        # round through float32 so downstream double math sees the same value
+        return float(np.float32(float(s)))
+
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -128,9 +133,9 @@ def main(argv=None) -> int:
         elif a == "-o":
             i += 1; out_base = need(i); i += 1
         elif a == "-z":
-            i += 1; b_redshift = True; f_redshift = float(need(i)); i += 1
+            i += 1; b_redshift = True; f_redshift = ffloat(need(i)); i += 1
         elif a == "-O":
-            i += 1; f_omega = float(need(i)); i += 1
+            i += 1; f_omega = ffloat(need(i)); i += 1
         elif a == "-L":
             i += 1; b_lambda = True
         elif a == "-s":
@@ -139,26 +144,26 @@ def main(argv=None) -> int:
             sys.stderr.write("-rho option is no longer availible.  Use -delta instead.\n")
             usage()
         elif a == "-delta":
-            i += 1; f_threshold = float(need(i)); b_threshold = True; i += 1
+            i += 1; f_threshold = ffloat(need(i)); b_threshold = True; i += 1
         elif a == "-m":
             i += 1; n_members = int(need(i)); i += 1
         elif a == "-p":
-            i += 1; v = float(need(i)); f_period = [v, v, v]; b_periodic = 1; i += 1
+            i += 1; v = ffloat(need(i)); f_period = [v, v, v]; b_periodic = 1; i += 1
         elif a == "-c":
-            i += 1; v = float(need(i)); f_center = [v, v, v]; i += 1
+            i += 1; v = ffloat(need(i)); f_center = [v, v, v]; i += 1
         elif a == "-cx":
-            i += 1; f_center[0] = float(need(i)); i += 1
+            i += 1; f_center[0] = ffloat(need(i)); i += 1
         elif a == "-cy":
-            i += 1; f_center[1] = float(need(i)); i += 1
+            i += 1; f_center[1] = ffloat(need(i)); i += 1
         elif a == "-cz":
-            i += 1; f_center[2] = float(need(i)); i += 1
+            i += 1; f_center[2] = ffloat(need(i)); i += 1
         elif a == "-std":
             b_standard = True; i += 1
         elif a == "-M":
-            i += 1; f_min_mass = float(need(i)); i += 1
+            i += 1; f_min_mass = ffloat(need(i)); i += 1
         elif a == "-u":
-            i += 1; f_mass_unit = float(need(i)); i += 1
-            f_mpc_unit = float(need(i)); i += 1
+            i += 1; f_mass_unit = ffloat(need(i)); i += 1
+            f_mpc_unit = ffloat(need(i)); i += 1
         elif a == "-list":
             i += 1; list_file = need(i); i += 1
         elif a == "-grp":
@@ -205,6 +210,9 @@ def main(argv=None) -> int:
     src = tipsy_file if tipsy_file is not None else sys.stdin.buffer
     particles = read_tipsy(src, b_standard)
     h = particles.header
+    # the reference stores the header time in a float (kd->fTime, kd2.h:119);
+    # the redshift default and the .sogtp header inherit that rounding
+    f_time = float(np.float32(h.time))
     sys.stderr.write(f"nDark:{h.ndark} nGas:{h.nsph} nStar:{h.nstar}\n")
     sys.stderr.write(f"Read {particles.n} particles from TIPSY file.\n")
 
@@ -215,7 +223,7 @@ def main(argv=None) -> int:
         sys.stderr.write(f"{nmark} mark particles read from {mark_file}\n")
 
     if not b_redshift:
-        f_redshift = 1.0 / h.time - 1.0   # so.c:470-472
+        f_redshift = float(np.float32(1.0 / f_time - 1.0))   # so.c:470-472
 
     if not b_threshold:
         f_threshold = rhovir_over_rhobar(f_omega, b_lambda, f_redshift) * f_omega
@@ -267,7 +275,7 @@ def main(argv=None) -> int:
     if b_grp:
         write_array_file(f"{out_base}.sogrp", run.conflicts.igrp)
     if b_gtp:
-        write_sogtp(f"{out_base}.sogtp", h.time, catalog.n_in_gtp,
+        write_sogtp(f"{out_base}.sogtp", f_time, catalog.n_in_gtp,
                     catalog.index, run.mvir, run.rvir, catalog.pos,
                     run.solve.vcm, b_standard)
     if b_subsumed:

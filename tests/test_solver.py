@@ -1,0 +1,89 @@
+"""Batched solver property tests vs the brute-force oracle + analytics."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+from fixtures import make_clumpy_box  # noqa: E402
+from reference_oracle import oracle_rvir  # noqa: E402
+
+from so_tpu.engine.solver import ladder_radius, rvir_ladder, solve_rvir  # noqa: E402
+from so_tpu.ops import build_grid  # noqa: E402
+
+
+def test_ladder_float32_semantics():
+    kmax, cap = rvir_ladder(np.array([0.05, 0.5], np.float32), (1.0, 1.0, 1.0))
+    # cap = 0.25*sqrt(3) ~ 0.433; 0.05*1.2^k >= cap at k=12; 0.5 -> 0 growths
+    assert kmax[1] == 0
+    r = np.float32(0.05)
+    k = 0
+    while np.float64(r) < 0.25 * np.float64(np.float32(np.sqrt(3.0))):
+        r = np.float32(r * np.float32(1.2))
+        k += 1
+    assert kmax[0] == k
+    np.testing.assert_allclose(ladder_radius(np.array([0.05], np.float32),
+                                             np.array([3])),
+                               [np.float32(np.float32(np.float32(0.05 * np.float32(1.2)) * np.float32(1.2)) * np.float32(1.2))])
+
+
+def test_solver_matches_oracle_random():
+    rng = np.random.default_rng(11)
+    clumps = [
+        dict(center=(0.1, 0.0, -0.1), n=1500, rmax=0.06, mass_total=0.2),
+        dict(center=(-0.25, 0.3, 0.2), n=800, rmax=0.04, mass_total=0.08),
+    ]
+    data = make_clumpy_box(rng, n_background=5000, clumps=clumps)
+    grid = build_grid(data["pos"], data["mass"], vel=data["vel"], m=3)
+
+    centers = np.concatenate([
+        np.array([[0.1, 0.0, -0.1], [-0.25, 0.3, 0.2]], np.float32),
+        rng.uniform(-0.5, 0.5, (6, 3)).astype(np.float32),
+    ])
+    rgtp = rng.uniform(0.01, 0.06, centers.shape[0]).astype(np.float32)
+    thr = 178.0
+
+    res = solve_rvir(grid, centers, rgtp, thr, n_members=8)
+    for h in range(centers.shape[0]):
+        want = oracle_rvir(data["pos"], data["mass"], centers[h], rgtp[h],
+                           (1.0, 1.0, 1.0), thr, 8)
+        assert res.code[h] == want["code"], (h, res.code[h], want)
+        if want["code"] == 0:
+            assert res.mvir[h] == pytest.approx(want["mvir"], rel=2e-5)
+            assert res.rvir[h] == pytest.approx(want["rvir"], rel=2e-5)
+            assert abs(int(res.j[h]) - want["j"]) <= 1  # knife-edge ties
+
+
+def test_isothermal_analytic_radius():
+    """rho ~ r^-2 clump: M(<r) = A r, R_Delta = sqrt(3A/(4 pi thr))."""
+    rng = np.random.default_rng(5)
+    mtot, rmax = 0.2, 0.08
+    clump = dict(center=(0.0, 0.0, 0.0), n=60000, rmax=rmax, mass_total=mtot)
+    data = make_clumpy_box(rng, n_background=2000, clumps=[clump])
+    grid = build_grid(data["pos"], data["mass"], m=4)
+    thr = 178.0
+    res = solve_rvir(grid, np.zeros((1, 3), np.float32),
+                     np.asarray([0.02], np.float32), thr)
+    A = mtot / rmax
+    want = np.sqrt(3 * A / (4 * np.pi * thr))
+    assert res.code[0] == 0
+    assert res.rvir[0] == pytest.approx(want, rel=0.05)
+    assert res.mvir[0] == pytest.approx(A * want, rel=0.05)
+
+
+def test_error_codes():
+    rng = np.random.default_rng(6)
+    data = make_clumpy_box(rng, n_background=3000, clumps=[])
+    grid = build_grid(data["pos"], data["mass"], m=3)
+    thr = 178.0
+    centers = np.zeros((3, 3), np.float32)
+    # rgtp tiny -> few particles -> -1; rgtp huge (>= cap) -> -3 immediately;
+    # rgtp big enough to hold >= 8 uniform-box particles whose density
+    # (~1) is already below threshold (178) -> -2
+    rgtp = np.asarray([1e-4, 0.9, 0.15], np.float32)
+    res = solve_rvir(grid, centers, rgtp, thr)
+    assert list(res.code) == [-1, -3, -2]

@@ -1,0 +1,92 @@
+"""Benchmark: halo R_Delta solves/sec on one chip.
+
+Synthetic cosmological box (uniform background + clustered r^-2 halos),
+solved with the production batched engine. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/sec", "vs_baseline": N}
+
+Baseline: the BASELINE.md north-star target of 1e5 R_Delta solves/sec on a
+single TPU chip (the reference itself publishes no numbers; its measured
+rate is ~1e3/s on one CPU core for comparable work).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+NORTH_STAR = 1.0e5  # solves/sec, BASELINE.md
+
+
+def make_box(rng, n_particles, n_halos):
+    """Clustered box: half the mass in r^-2 halos, half uniform."""
+    n_clumped = n_particles // 2
+    n_bg = n_particles - n_clumped
+    # halo sizes: power-law-ish distribution over the requested halo count
+    sizes = rng.pareto(1.5, n_halos) + 1.0
+    sizes = np.maximum((sizes / sizes.sum() * n_clumped).astype(np.int64), 24)
+    centers = rng.uniform(-0.5, 0.5, (n_halos, 3)).astype(np.float32)
+    rmax = (0.004 * sizes.astype(np.float64) ** (1 / 3)).astype(np.float32)
+
+    chunks = [rng.uniform(-0.5, 0.5, (n_bg, 3)).astype(np.float32)]
+    for c, n, rm in zip(centers, sizes, rmax):
+        r = rm * rng.uniform(0.001, 1.0, n)
+        u = rng.normal(size=(n, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        p = c[None, :] + (r[:, None] * u).astype(np.float32)
+        chunks.append(((p + 0.5) % 1.0 - 0.5).astype(np.float32))
+    pos = np.concatenate(chunks)
+    n_tot = pos.shape[0]
+    mass = np.full(n_tot, 1.0 / n_tot, np.float32)
+    vel = np.zeros((n_tot, 3), np.float32)
+    rgtp = np.maximum(rmax * 0.5, 0.002).astype(np.float32)
+    return pos, mass, vel, centers, rgtp
+
+
+def main():
+    n_particles = int(os.environ.get("SO_BENCH_PARTICLES", 2 ** 21))  # ~2M
+    n_halos = int(os.environ.get("SO_BENCH_HALOS", 16384))
+
+    import jax
+
+    from so_tpu.engine.solver import solve_rvir
+    from so_tpu.ops import build_grid
+
+    rng = np.random.default_rng(12345)
+    t0 = time.perf_counter()
+    pos, mass, vel, centers, rgtp = make_box(rng, n_particles, n_halos)
+    gen_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    grid = build_grid(pos, mass, vel=vel)
+    jax.block_until_ready(grid.pos)
+    build_s = time.perf_counter() - t0
+
+    thr = 178.0
+    # warmup: compiles every tier this workload touches
+    t0 = time.perf_counter()
+    res = solve_rvir(grid, centers, rgtp, thr)
+    warm_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = solve_rvir(grid, centers, rgtp, thr)
+    solve_s = time.perf_counter() - t0
+
+    ok = int((res.code == 0).sum())
+    rate = n_halos / solve_s
+    print(f"# particles={pos.shape[0]} halos={n_halos} ok={ok} "
+          f"codes={np.bincount(-res.code[res.code<=0], minlength=4).tolist()} "
+          f"gen={gen_s:.1f}s grid={build_s:.1f}s warm={warm_s:.1f}s "
+          f"solve={solve_s:.3f}s device={jax.devices()[0].device_kind}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "halo_rvir_solves_per_sec",
+        "value": round(rate, 1),
+        "unit": "solves/sec",
+        "vs_baseline": round(rate / NORTH_STAR, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

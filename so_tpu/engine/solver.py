@@ -89,6 +89,41 @@ def ladder_radius(rgtp: np.ndarray, k: np.ndarray) -> np.ndarray:
 # Stage kernel (device)
 # ---------------------------------------------------------------------------
 
+def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int):
+    """The density scan over distance-sorted hits (shared by the single- and
+    multi-device paths). ``mass_s`` must be zero on invalid slots."""
+    B, K = d2_s.shape
+    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+    cum = jnp.cumsum(mass_s, axis=1)
+
+    # rho(i) = cum(i) / ((4/3) pi d2^(3/2)) — rhoEnclosed (kd2.c:588-593)
+    r3 = d2_s * jnp.sqrt(d2_s)
+    rho = cum / (FOUR_THIRDS_PI * r3)
+
+    rho_next = jnp.concatenate([rho[:, 1:], jnp.full((B, 1), jnp.inf)], axis=1)
+    pair_ok = ((rho < thr) & (rho_next < thr)
+               & (slot + 1 < n_in[:, None])
+               & (slot >= n_members - 2))
+    found = pair_ok.any(axis=1)
+    jstar = jnp.argmax(pair_ok, axis=1).astype(jnp.int32)
+
+    jm1 = jnp.maximum(jstar - 1, 0)
+    rows = jnp.arange(B)
+    mvir = cum[rows, jm1]
+    d2cut = d2_s[rows, jm1]
+    # Rvir derived from Mvir, not a particle distance (kd2.c:816-819)
+    rvir = jnp.cbrt(mvir / (FOUR_THIRDS_PI * thr))
+
+    # group mean velocity over the j interior particles (_VcmParticles,
+    # kd2.c:595-609) — mass-weighted over sorted prefix [0, jstar)
+    interior = slot < jstar[:, None]
+    w = jnp.where(interior, mass_s, 0.0)
+    vcm = (w[:, :, None] * vel_s).sum(axis=1) / mvir[:, None]
+
+    return dict(found=found, jstar=jstar, mvir=mvir, rvir=rvir, d2cut=d2cut,
+                vcm=vcm)
+
+
 @partial(jax.jit, static_argnames=("level", "K", "S", "n_members"))
 def _solve_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
                  centers, radii, thr):
@@ -99,40 +134,13 @@ def _solve_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
     """
     g = ragged_ball_gather(grid, level, centers, radii, radii * radii, K, S,
                            sort=True)
-    B = centers.shape[0]
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     valid = slot < g.n_in[:, None]
-
     mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
-    cum = jnp.cumsum(mass_s, axis=1)
-
-    # rho(i) = cum(i) / ((4/3) pi d2^(3/2)) — rhoEnclosed (kd2.c:588-593)
-    r3 = g.d2 * jnp.sqrt(g.d2)
-    rho = cum / (FOUR_THIRDS_PI * r3)
-
-    rho_next = jnp.concatenate([rho[:, 1:], jnp.full((B, 1), jnp.inf)], axis=1)
-    pair_ok = ((rho < thr) & (rho_next < thr)
-               & (slot + 1 < g.n_in[:, None])
-               & (slot >= n_members - 2))
-    found = pair_ok.any(axis=1)
-    jstar = jnp.argmax(pair_ok, axis=1).astype(jnp.int32)
-
-    jm1 = jnp.maximum(jstar - 1, 0)
-    rows = jnp.arange(B)
-    mvir = cum[rows, jm1]
-    d2cut = g.d2[rows, jm1]
-    # Rvir derived from Mvir, not a particle distance (kd2.c:816-819)
-    rvir = jnp.cbrt(mvir / (FOUR_THIRDS_PI * thr))
-
-    # group mean velocity over the j interior particles (_VcmParticles,
-    # kd2.c:595-609) — mass-weighted over sorted prefix [0, jstar)
-    interior = slot < jstar[:, None]
-    w = jnp.where(interior, mass_s, 0.0)
     vel_s = grid.vel[g.idx]
-    vcm = (w[:, :, None] * vel_s).sum(axis=1) / mvir[:, None]
-
-    return dict(n_in=g.n_in, overflow=g.overflow, found=found, jstar=jstar,
-                mvir=mvir, rvir=rvir, d2cut=d2cut, vcm=vcm)
+    out = scan_sorted(g.d2, mass_s, vel_s, g.n_in, thr, n_members)
+    out.update(n_in=g.n_in, overflow=g.overflow)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -171,8 +179,16 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                thr: float, n_members: int = 8,
                k0_cap: int = 4096, s_max: int = 11,
                slot_budget: int = 1 << 23,
-               progress=None) -> SolveResult:
-    """Solve R_Delta for every halo (batched, staged capacity escalation)."""
+               progress=None, stage_fn=None) -> SolveResult:
+    """Solve R_Delta for every halo (batched, staged capacity escalation).
+
+    ``stage_fn(level, K, S, n_members, centers, radii, thr)`` overrides the
+    single-device stage kernel — the multi-device path
+    (parallel.mesh.solve_rvir_sharded) injects its shard_map stage here and
+    reuses this escalation driver unchanged.
+    """
+    if stage_fn is None:
+        stage_fn = lambda *a: _solve_stage(grid, *a)
     G = centers.shape[0]
     period = np.asarray(grid.period, np.float32)
     centers = np.asarray(centers, np.float32)
@@ -228,8 +244,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 r_pad = np.zeros(B, np.float32)
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = radii[lo:lo + chunk]
-                out = _solve_stage(grid, level, K, s_max, n_members,
-                                   jnp.asarray(c_pad), jnp.asarray(r_pad), thr32)
+                out = stage_fn(level, K, s_max, n_members,
+                               jnp.asarray(c_pad), jnp.asarray(r_pad), thr32)
                 n_in = np.asarray(out["n_in"])[:part.size]
                 ovf = np.asarray(out["overflow"])[:part.size]
                 found = np.asarray(out["found"])[:part.size]

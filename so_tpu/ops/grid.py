@@ -95,14 +95,22 @@ def choose_m(n_particles: int, target_occupancy: int = 24, m_max: int = 9) -> in
     return int(np.clip(m, 0, m_max))
 
 
+# Sentinel Morton code for padding particles: >= the cell count at every
+# level (1<<30 >> 3g >= 8^(m-g) whenever m <= 9), so every cell range at
+# every level excludes sentinels by construction.
+SENTINEL_CODE = jnp.int32(1 << 30)
+
+
 @partial(jax.jit, static_argnames=("m",))
-def _build_device(m, lo, period, pos, mass, vel, phi, ptype, mark):
-    n = pos.shape[0]
+def _build_device(m, lo, period, pos, mass, vel, phi, ptype, mark, valid=None):
     nc = 1 << m
     u = pos - lo
     u = u - jnp.floor(u / period) * period  # wrap to [0, period)
     ic = jnp.clip((u / period * nc).astype(jnp.int32), 0, nc - 1)
     code = morton_encode(ic[:, 0], ic[:, 1], ic[:, 2])
+    if valid is not None:
+        code = jnp.where(valid, code, SENTINEL_CODE)
+        mass = jnp.where(valid, mass, 0.0)
     perm = jnp.argsort(code, stable=True)
     code_s = code[perm]
     starts = []

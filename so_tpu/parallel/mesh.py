@@ -1,0 +1,231 @@
+"""Multi-chip SPMD: halo x particle sharding over a jax.sharding.Mesh.
+
+The reference is a single-process serial program (SURVEY.md section 2.2);
+its two implicit decomposition axes become first-class mesh axes here:
+
+  - 'halo': candidate centers are data-parallel — each device solves its
+    slice of the catalog (no communication until results are fetched).
+  - 'part': the particle population is sharded — each device owns a
+    Morton-sorted cell grid over its shard, gathers ball candidates
+    locally, and the per-shard hit lists are all-gathered over ICI and
+    merge-sorted so the density scan sees exactly the same globally
+    distance-sorted sequence as the single-device path.
+
+Exactness: the scan consumes (d2, mass) pairs in ascending d2; an
+all_gather of per-shard hits followed by one sort is a merge of disjoint
+subsets, so results are bit-comparable to single-device up to float32 sort
+ties. The -1 count is a psum; overflow is an any-reduce.
+
+Everything runs under one jit with shard_map — XLA inserts the collectives
+(all_gather over 'part') and partitions the rest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.gather import ragged_ball_gather
+from ..ops.grid import CellGrid, _build_device, choose_m
+from ..engine.solver import scan_sorted
+
+
+def make_mesh(n_halo: int, n_part: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size == n_halo * n_part, (devices.size, n_halo, n_part)
+    return Mesh(devices.reshape(n_halo, n_part), ("halo", "part"))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ShardedGrid:
+    """Per-shard Morton grids, stacked on a leading 'part'-sharded axis.
+
+    Shard s owns rows [s] of every array: its own Morton-sorted particle
+    block (padded with sentinel-coded zero-mass particles to equal size)
+    plus its own multi-level CSR starts.
+    """
+    m: int
+    lo: jnp.ndarray           # (3,)
+    period: jnp.ndarray       # (3,)
+    pos: jnp.ndarray          # (nsh, Nl, 3)
+    mass: jnp.ndarray         # (nsh, Nl)
+    vel: jnp.ndarray          # (nsh, Nl, 3)
+    phi: jnp.ndarray          # (nsh, Nl)
+    ptype: jnp.ndarray        # (nsh, Nl)
+    mark: jnp.ndarray         # (nsh, Nl)
+    orig_idx: jnp.ndarray     # (nsh, Nl) — local row -> global original index
+    starts: tuple             # per level: (nsh, size_g)
+
+    @property
+    def nshards(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def n_local(self) -> int:
+        return self.pos.shape[1]
+
+    def tree_flatten(self):
+        return ((self.lo, self.period, self.pos, self.mass, self.vel,
+                 self.phi, self.ptype, self.mark, self.orig_idx, self.starts),
+                self.m)
+
+    @classmethod
+    def tree_unflatten(cls, m, children):
+        return cls(m, *children)
+
+    def local_cellgrid(self) -> CellGrid:
+        """Inside shard_map: view this shard's block (leading dim 1) as a
+        plain CellGrid."""
+        sq = lambda a: a[0]
+        return CellGrid(self.m, self.lo, self.period, sq(self.pos),
+                        sq(self.mass), sq(self.vel), sq(self.phi),
+                        sq(self.ptype), sq(self.mark), sq(self.orig_idx),
+                        tuple(sq(s) for s in self.starts))
+
+
+def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
+                       period=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0),
+                       m: int | None = None, mesh: Mesh | None = None) -> ShardedGrid:
+    """Split particles into equal shards and build one grid per shard.
+
+    The build is vmapped over shards; with a mesh, arrays are placed with
+    PartitionSpec('part') on the shard axis so each device holds only its
+    own grid.
+    """
+    pos = np.asarray(pos, np.float32)
+    n = pos.shape[0]
+    mass = np.asarray(mass, np.float32)
+    vel = np.zeros((n, 3), np.float32) if vel is None else np.asarray(vel, np.float32)
+    phi = np.zeros(n, np.float32) if phi is None else np.asarray(phi, np.float32)
+    ptype = np.zeros(n, np.int32) if ptype is None else np.asarray(ptype, np.int32)
+    mark = np.zeros(n, bool) if mark is None else np.asarray(mark, bool)
+    period_a = np.asarray(period, np.float32)
+    center_a = np.asarray(center, np.float32)
+    lo = center_a - period_a * 0.5
+
+    nsh = mesh.shape["part"] if mesh is not None else 1
+    if m is None:
+        m = min(choose_m(max(n // nsh, 1)), 9)
+    nl = -(-n // nsh)
+
+    def pad_split(a, fill=0):
+        out = np.full((nsh * nl,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:n] = a
+        return out.reshape((nsh, nl) + a.shape[1:])
+
+    valid = pad_split(np.ones(n, bool), False)
+    gidx = pad_split(np.arange(n, dtype=np.int32), 0)
+
+    build = jax.jit(jax.vmap(
+        lambda p, ms, v, ph, pt, mk, va: _build_device(
+            m, jnp.asarray(lo), jnp.asarray(period_a), p, ms, v, ph, pt, mk, va),
+    ), static_argnums=())
+
+    out = build(pad_split(pos), pad_split(mass), pad_split(vel),
+                pad_split(phi), pad_split(ptype), pad_split(mark), valid)
+    pos_s, mass_s, vel_s, phi_s, ptype_s, mark_s, perm_s, starts_s = out
+    # perm is shard-local; translate to global original indices
+    orig = jnp.take_along_axis(jnp.asarray(gidx), perm_s, axis=1)
+
+    sg = ShardedGrid(m, jnp.asarray(lo), jnp.asarray(period_a), pos_s, mass_s,
+                     vel_s, phi_s, ptype_s, mark_s, orig, tuple(starts_s))
+    if mesh is not None:
+        def place(a):
+            return jax.device_put(a, NamedSharding(mesh, P("part")))
+        sg = ShardedGrid(m, jax.device_put(sg.lo, NamedSharding(mesh, P())),
+                         jax.device_put(sg.period, NamedSharding(mesh, P())),
+                         place(sg.pos), place(sg.mass), place(sg.vel),
+                         place(sg.phi), place(sg.ptype), place(sg.mark),
+                         place(sg.orig_idx), tuple(place(s) for s in sg.starts))
+    return sg
+
+
+@partial(jax.jit, static_argnames=("mesh", "level", "K", "S", "n_members"))
+def solve_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
+                        S: int, n_members: int, centers, radii, thr):
+    """The batched R_Delta stage, SPMD over (halo, part).
+
+    Each device gathers its particle shard's candidates for its halo slice,
+    all_gathers the per-shard (d2, mass, m*v) hit lists over 'part' (ICI),
+    merge-sorts, and runs the shared density scan. Outputs are
+    halo-sharded and part-replicated.
+    """
+    def body(sg: ShardedGrid, centers, radii, thr):
+        grid = sg.local_cellgrid()
+        g = ragged_ball_gather(grid, level, centers, radii, radii * radii,
+                               K, S, sort=False)
+        slot_valid = jnp.isfinite(g.d2)
+        mass_l = jnp.where(slot_valid, grid.mass[g.idx], 0.0)
+        vel_l = jnp.where(slot_valid[:, :, None], grid.vel[g.idx], 0.0)
+
+        # merge over the particle axis: ICI all_gather + one sort
+        d2_all = jax.lax.all_gather(g.d2, "part", axis=1, tiled=True)
+        m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
+        v_all = jax.lax.all_gather(vel_l, "part", axis=1, tiled=True)
+        n_in = jax.lax.psum(g.n_in, "part")
+        overflow = jax.lax.psum(g.overflow.astype(jnp.int32), "part") > 0
+
+        d2_s, m_s, vx, vy, vz = jax.lax.sort(
+            (d2_all, m_all, v_all[..., 0], v_all[..., 1], v_all[..., 2]),
+            num_keys=1, is_stable=True)
+        vel_s = jnp.stack([vx, vy, vz], axis=-1)
+        out = scan_sorted(d2_s, m_s, vel_s, n_in, thr, n_members)
+        out.update(n_in=n_in, overflow=overflow)
+        return out
+
+    specs_grid = ShardedGrid(
+        sgrid.m, P(), P(), *(P("part"),) * 7,
+        tuple(P("part") for _ in sgrid.starts))
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(specs_grid, P("halo"), P("halo"), P()),
+        out_specs={k: P("halo") for k in
+                   ("found", "jstar", "mvir", "rvir", "d2cut", "vcm",
+                    "n_in", "overflow")},
+        check_vma=False,  # outputs are 'part'-replicated via all_gather/psum
+    )(sgrid, centers, radii, thr)
+
+
+def sharded_stage_fn(mesh: Mesh, sgrid: ShardedGrid):
+    """Adapter with the same signature as engine.solver._solve_stage, for
+    reuse of the host-side escalation driver."""
+    n_halo = mesh.shape["halo"]
+
+    def stage(level, K, S, n_members, centers, radii, thr):
+        B = centers.shape[0]
+        pad = (-B) % n_halo
+        if pad:
+            centers = jnp.concatenate(
+                [centers, jnp.zeros((pad, 3), jnp.float32)])
+            radii = jnp.concatenate([radii, jnp.full(pad, 1e-30, jnp.float32)])
+        out = solve_stage_sharded(mesh, sgrid, level, K, S, n_members,
+                                  centers, radii, thr)
+        if pad:
+            out = {k: v[:B] for k, v in out.items()}
+        return out
+
+    return stage
+
+
+def solve_rvir_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp, thr,
+                       n_members: int = 8, **kw):
+    """Multi-device solve_rvir: same escalation driver, sharded stage."""
+    from ..engine import solver
+
+    class _GridProxy:
+        m = sgrid.m
+        n = int(sgrid.nshards * sgrid.n_local)
+        period = sgrid.period
+
+        def ncell(self, level):
+            return 1 << (sgrid.m - level)
+
+    proxy = _GridProxy()
+    return solver.solve_rvir(proxy, centers, rgtp, thr, n_members=n_members,
+                             stage_fn=sharded_stage_fn(mesh, sgrid), **kw)

@@ -19,9 +19,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent XLA compile cache: repeated pytest runs skip recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/so_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NOTE: the persistent compilation cache is deliberately NOT enabled: this
+# image's XLA:CPU AOT loader rejects its own cache entries with machine-
+# feature mismatch errors (cpu_aot_loader.cc) and warns about SIGILL.
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

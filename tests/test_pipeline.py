@@ -1,0 +1,118 @@
+"""Python-API pipeline tests (run_so) + conflict-protocol unit tests."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+from fixtures import make_clumpy_box  # noqa: E402
+
+from so_tpu.engine import SOParams, run_so  # noqa: E402
+from so_tpu.engine.conflicts import resolve_conflicts  # noqa: E402
+from so_tpu.io.tipsy import DARK, ParticleSet, TipsyHeader  # noqa: E402
+
+
+def _particle_set(data):
+    n = data["pos"].shape[0]
+    hdr = TipsyHeader(time=1.0, nbodies=n, ndim=3, nsph=0, ndark=n, nstar=0)
+    return ParticleSet(hdr, data["pos"], data["vel"], data["mass"],
+                       data["phi"], np.zeros(n, np.float32))
+
+
+def _catalog(centers, rgtp, masses):
+    from so_tpu.io.catalogs import GroupCatalog
+    centers = np.asarray(centers, np.float32)
+    return GroupCatalog(index=np.arange(1, len(rgtp) + 1, dtype=np.int32),
+                        pos=centers.copy(),
+                        rgtp=np.asarray(rgtp, np.float32),
+                        gtp_mass=np.asarray(masses, np.float32),
+                        n_in_gtp=len(rgtp), gtp_time=1.0)
+
+
+def test_run_so_end_to_end():
+    rng = np.random.default_rng(23)
+    clumps = [dict(center=(0.1, 0.1, 0.1), n=2500, rmax=0.06, mass_total=0.2)]
+    data = make_clumpy_box(rng, n_background=6000, clumps=clumps)
+    ps = _particle_set(data)
+    cat = _catalog([(0.1, 0.1, 0.1)], [0.04], [0.2])
+    run = run_so(ps, cat, SOParams(threshold=178.0, species=(DARK,)))
+    assert run.solve.code[0] == 0
+    assert run.mvir[0] > 0 and run.rvir[0] > 0
+    # mass conservation of the stats bookkeeping
+    assert run.stats.halo_mass_sum == pytest.approx(float(run.mvir[0]), rel=1e-6)
+    assert (run.conflicts.igrp == 1).sum() == run.solve.j[0]
+    # dark profile last bin holds everything within 2 Rvir
+    prof = run.derived.profiles[DARK][0]
+    assert (np.diff(prof) >= 0).all()
+    assert prof[-1] >= float(run.mvir[0]) * 0.9
+
+
+def _conflict_inputs(igrp_members, positions, rvirs, codes, masses):
+    index = np.arange(1, len(positions) + 1, dtype=np.int32)
+    return index, np.asarray(positions, np.float32), \
+        np.asarray(masses, np.float32), np.asarray(rvirs, np.float32), \
+        np.asarray(codes, np.int32)
+
+
+def test_conflicts_subsume():
+    # B (small) processed first owns particles 0..4; A at same center with
+    # bigger Rvir subsumes B
+    index, pos, mvir, rvir, code = _conflict_inputs(
+        None, [(0, 0, 0), (0.01, 0, 0)], [0.1, 0.02], [0, 0], [0.5, 0.1])
+    members = [np.arange(10), np.arange(5)]
+    order = np.array([1, 0])  # B (row 1) first
+    st = resolve_conflicts(index, pos, mvir, rvir, code, order, members, 20)
+    assert st.groups_removed == 1 and st.groups_slurped == 0
+    assert st.rvir[1] == np.float32(-10.0)           # -10 * A.index(=1)
+    assert st.mvir[1] == np.float32(-0.1)            # B's Mvir negated
+    assert (st.igrp[:10] == 1).all()
+    assert (st.n_subsumed[:5] == 1).all()
+    assert (st.n_subsumed[5:] == 0).all()
+
+
+def test_conflicts_slurp():
+    # B (row 1, small gtp mass) processed first with a HUGE Rvir; A (row 0)
+    # is centered outside its own small Rvir reach of B but inside B's ->
+    # A gets slurped at its first B-owned particle
+    index, pos, mvir, rvir, code = _conflict_inputs(
+        None, [(0.3, 0, 0), (0.0, 0, 0)], [0.05, 0.4], [0.05, 0.5], [0, 0],)
+    mvir = np.asarray([0.05, 0.4], np.float32)
+    rvir = np.asarray([0.05, 0.5], np.float32)
+    members = [np.arange(8), np.arange(30)]        # overlapping interiors
+    order = np.array([1, 0])
+    st = resolve_conflicts(index, pos, mvir, rvir, code, order, members, 40)
+    assert st.groups_slurped == 1 and st.groups_removed == 0
+    assert st.slurped_own[0]
+    assert st.rvir[0] == np.float32(-20.0)          # -10 * B.index(=2)
+    assert st.mvir[0] == np.float32(-0.05)
+    # A's walk broke at its first particle; B keeps everything
+    assert (st.igrp[:30] == 2).all()
+
+
+def test_conflicts_retain():
+    # disjoint centers, neither inside the other -> ignore/retain
+    index, pos, mvir, rvir, code = _conflict_inputs(
+        None, [(0.3, 0, 0), (0.0, 0, 0)], [0.2, 0.1], [0.01, 0.01], [0, 0])
+    mvir = np.asarray([0.2, 0.1], np.float32)
+    rvir = np.asarray([0.01, 0.01], np.float32)
+    members = [np.array([0, 1, 2, 5]), np.array([5, 6, 7])]
+    order = np.array([1, 0])
+    st = resolve_conflicts(index, pos, mvir, rvir, code, order, members, 10)
+    assert st.groups_removed == 0 and st.groups_slurped == 0
+    assert st.igrp[5] == 2            # B keeps particle 5
+    assert st.n_ignored[5] == 1       # A counted it but didn't claim it
+    assert (st.igrp[[0, 1, 2]] == 1).all()
+
+
+def test_conflicts_error_groups_never_tag():
+    index, pos, mvir, rvir, code = _conflict_inputs(
+        None, [(0, 0, 0)], [-1.0], [-1.0], [-1])
+    st = resolve_conflicts(index, pos, np.asarray([-1.0], np.float32),
+                           np.asarray([-1.0], np.float32),
+                           np.asarray([-1], np.int32), np.array([0]),
+                           [None], 5)
+    assert (st.igrp == 0).all()

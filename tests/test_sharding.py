@@ -1,0 +1,77 @@
+"""Multi-device tests on the 8-virtual-CPU mesh (SURVEY.md section 4 item 4):
+the (halo x part)-sharded solve must reproduce single-device results."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+from fixtures import make_clumpy_box  # noqa: E402
+
+from so_tpu.engine.solver import solve_rvir  # noqa: E402
+from so_tpu.ops import build_grid  # noqa: E402
+from so_tpu.parallel import (build_sharded_grid, make_mesh,  # noqa: E402
+                             solve_rvir_sharded)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(17)
+    clumps = [
+        dict(center=(0.1, 0.0, -0.1), n=2000, rmax=0.06, mass_total=0.2),
+        dict(center=(-0.25, 0.3, 0.2), n=1000, rmax=0.04, mass_total=0.08),
+        dict(center=(0.45, 0.45, 0.45), n=900, rmax=0.05, mass_total=0.06),
+    ]
+    d = make_clumpy_box(rng, n_background=6000, clumps=clumps)
+    centers = np.concatenate([
+        np.array([[0.1, 0.0, -0.1], [-0.25, 0.3, 0.2], [0.45, 0.45, 0.45]],
+                 np.float32),
+        rng.uniform(-0.5, 0.5, (5, 3)).astype(np.float32)])
+    rgtp = rng.uniform(0.01, 0.05, centers.shape[0]).astype(np.float32)
+    return d, centers, rgtp
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+# (1,8): pure particle sharding (all_gather merge path); (2,4): 2D mesh.
+# (8,1)/(4,2) also pass but are dropped to keep CI time bounded.
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_solve_matches_single(data, mesh_shape):
+    d, centers, rgtp = data
+    thr = 178.0
+    grid = build_grid(d["pos"], d["mass"], vel=d["vel"], m=3)
+    want = solve_rvir(grid, centers, rgtp, thr)
+
+    mesh = make_mesh(*mesh_shape)
+    sgrid = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
+                               mesh=mesh)
+    got = solve_rvir_sharded(mesh, sgrid, centers, rgtp, thr)
+
+    np.testing.assert_array_equal(got.code, want.code)
+    np.testing.assert_allclose(got.mvir, want.mvir, rtol=2e-6)
+    np.testing.assert_allclose(got.rvir, want.rvir, rtol=2e-6)
+    np.testing.assert_array_equal(got.j, want.j)
+    ok = want.code == 0
+    np.testing.assert_allclose(got.vcm[ok], want.vcm[ok], rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_grid_partition_covers_all_particles(data):
+    d, _, _ = data
+    mesh = make_mesh(2, 4)
+    sgrid = build_sharded_grid(d["pos"], d["mass"], m=3, mesh=mesh)
+    n = d["pos"].shape[0]
+    # every original particle appears exactly once across shards (sentinel
+    # padding carries zero mass)
+    orig = np.asarray(sgrid.orig_idx).ravel()
+    mass = np.asarray(sgrid.mass).ravel()
+    real = mass > 0
+    assert np.unique(orig[real]).size == real.sum()
+    np.testing.assert_allclose(np.asarray(sgrid.mass).sum(),
+                               d["mass"].sum(), rtol=1e-5)

@@ -27,7 +27,9 @@ def make_box(rng, n_particles, n_halos):
     sizes = rng.pareto(1.5, n_halos) + 1.0
     sizes = np.maximum((sizes / sizes.sum() * n_clumped).astype(np.int64), 24)
     centers = rng.uniform(-0.5, 0.5, (n_halos, 3)).astype(np.float32)
-    rmax = (0.004 * sizes.astype(np.float64) ** (1 / 3)).astype(np.float32)
+    # rmax such that the clump is a genuine overdensity (edge density well
+    # above the Delta=178 threshold for a particle mass of 1/N)
+    rmax = (0.0012 * sizes.astype(np.float64) ** (1 / 3)).astype(np.float32)
 
     chunks = [rng.uniform(-0.5, 0.5, (n_bg, 3)).astype(np.float32)]
     for c, n, rm in zip(centers, sizes, rmax):
@@ -40,7 +42,7 @@ def make_box(rng, n_particles, n_halos):
     n_tot = pos.shape[0]
     mass = np.full(n_tot, 1.0 / n_tot, np.float32)
     vel = np.zeros((n_tot, 3), np.float32)
-    rgtp = np.maximum(rmax * 0.5, 0.002).astype(np.float32)
+    rgtp = np.maximum(rmax, 0.001).astype(np.float32)
     return pos, mass, vel, centers, rgtp
 
 

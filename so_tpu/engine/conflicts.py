@@ -53,14 +53,31 @@ class ConflictState:
 def resolve_conflicts(index: np.ndarray, pos: np.ndarray,
                       mvir: np.ndarray, rvir: np.ndarray, code: np.ndarray,
                       order: np.ndarray, members: list,
-                      n_particles: int) -> ConflictState:
+                      n_particles: int, use_native: bool | None = None) -> ConflictState:
     """Run the protocol over all groups in the given processing order.
 
     ``order`` is the ascending-GTP-mass permutation (numerics.indexx);
     ``members[h]`` is halo h's sorted interior original-index list (only
     consulted when code[h] == 0 — error groups never tag, kd2.c:772-796,
     836-839).
+
+    ``use_native``: run the C implementation (so_tpu/native/so_native.c) —
+    default tries native and falls back to this vectorized-numpy path.
+    Both implement identical semantics (tests/test_native.py).
     """
+    if use_native is not False:
+        from ..native import conflict_pass_native
+        out = conflict_pass_native(np.asarray(index, np.int32),
+                                   np.asarray(pos, np.float32),
+                                   np.asarray(mvir, np.float32),
+                                   np.asarray(rvir, np.float32),
+                                   np.asarray(code, np.int32),
+                                   np.asarray(order, np.int64),
+                                   members, n_particles)
+        if out is not None:
+            return ConflictState(**out)
+        if use_native:
+            raise RuntimeError("native conflict pass requested but unavailable")
     G = index.shape[0]
     igrp = np.zeros(n_particles, np.int32)
     n_sub = np.zeros(n_particles, np.int32)

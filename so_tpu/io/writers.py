@@ -114,7 +114,14 @@ def write_sovcirc_rows(fp, index: np.ndarray, mvir: np.ndarray,
 
 
 def write_array_file(path: str, values: np.ndarray) -> None:
-    """Tipsy-array ASCII: count then one value per line (kd2.c:1244-1264)."""
+    """Tipsy-array ASCII: count then one value per line (kd2.c:1244-1264).
+
+    Uses the native writer when available (1e9-line .sogrp files are pure
+    I/O); the fallback is numpy string assembly."""
+    from ..native import write_int_array_native
+
+    if write_int_array_native(path, values):
+        return
     with open(path, "w") as fp:
         fp.write("%d\n" % values.shape[0])
         fp.write("\n".join(str(int(v)) for v in values))

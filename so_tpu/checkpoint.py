@@ -1,0 +1,45 @@
+"""Checkpoint / resume of the solve state.
+
+The reference has none (SURVEY.md section 5: the whole run is one pass and
+outputs are idempotent), so this is an extension: the expensive device
+phase (R_Delta solve + member extraction) can be snapshotted and a rerun
+resumes straight into the host-side conflict/derived/writer phases — useful
+when iterating on output options over a large catalog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .engine.solver import SolveResult
+
+FORMAT_VERSION = 1
+
+
+def save_solve(path: str, solve: SolveResult, members: list,
+               centers: np.ndarray) -> None:
+    mem_off = np.zeros(len(members) + 1, np.int64)
+    for g, m in enumerate(members):
+        mem_off[g + 1] = mem_off[g] + (0 if m is None else m.size)
+    mem = np.concatenate([m for m in members if m is not None and m.size]
+                         ) if mem_off[-1] else np.zeros(0, np.int64)
+    np.savez_compressed(
+        path, version=FORMAT_VERSION, code=solve.code, mvir=solve.mvir,
+        rvir=solve.rvir, j=solve.j, d2cut=solve.d2cut, vcm=solve.vcm,
+        mem_off=mem_off, mem=mem, centers=centers)
+
+
+def load_solve(path: str):
+    z = np.load(path)
+    if int(z["version"]) != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {int(z['version'])} != "
+                         f"{FORMAT_VERSION}")
+    solve = SolveResult(code=z["code"], mvir=z["mvir"], rvir=z["rvir"],
+                        j=z["j"], d2cut=z["d2cut"], vcm=z["vcm"])
+    mem_off = z["mem_off"]
+    mem = z["mem"]
+    members = []
+    for g in range(mem_off.shape[0] - 1):
+        lo, hi = int(mem_off[g]), int(mem_off[g + 1])
+        members.append(mem[lo:hi] if (hi > lo or solve.code[g] == 0) else None)
+    return solve, members, z["centers"]

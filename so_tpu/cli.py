@@ -38,7 +38,7 @@ so_tpu -i <SKID .gtp file> [-o <outfilebase>] [([-dark] [-gas] [-star]) || [-all
       [-p <xyzPeriod>]  [-c <xyzCenter>]
       [-cx <xCenter>]  [-cy <yCenter>]  [-cz <zCenter>]
       [-u <fMassUnit> <fMpcUnit>]
-      [--tipsy <snapshot>] [--verbose]
+      [--tipsy <snapshot>] [--verbose] [--profile <trace-dir>]
 
 Spherical-overdensity halo characterization (TPU-native engine). For every
 group center in the input .gtp catalog, finds the smallest radius R inside
@@ -114,6 +114,7 @@ def main(argv=None) -> int:
     gtp_file = list_file = out_base = mark_file = stat_file = None
     tipsy_file = None
     verbose = False
+    profile_dir = None
 
     def need(i):
         if i >= len(argv):
@@ -196,6 +197,8 @@ def main(argv=None) -> int:
             i += 1; tipsy_file = need(i); i += 1
         elif a == "--verbose":
             verbose = True; i += 1
+        elif a == "--profile":
+            i += 1; profile_dir = need(i); i += 1
         else:
             usage()
 
@@ -254,7 +257,8 @@ def main(argv=None) -> int:
     params = SOParams(threshold=float(np.float32(f_threshold)),
                       n_members=n_members,
                       period=tuple(f_period), center=tuple(f_center),
-                      b_pot=b_pot, species=species, grav=grav, verbose=verbose)
+                      b_pot=b_pot, species=species, grav=grav, verbose=verbose,
+                      profile_dir=profile_dir)
     run = run_so(particles, catalog, params)
 
     # stats to stderr and the catalog file (kdOutStats)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.tipsy import DARK, GAS, STAR, MARK
-from ..ops.gather import ragged_ball_gather
+from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
 
 NVCIRC = 8          # kd2.h:10
@@ -50,13 +50,28 @@ def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
     B = centers.shape[0]
     fball = jnp.float32(2.0) * rvir
     fball2 = fball * fball
-    g = ragged_ball_gather(grid, level, centers, fball, fball2, K, S, sort=True)
+    if grid.soa8t is not None:
+        sg = slab_gather(grid, level, centers, fball, fball2, K, S,
+                         channels=("mass", "meta"))
+        d2_s, mass_s = sg.d2, sg.channels[0]
+        meta = sg.channels[1].astype(jnp.int32)
+        ptype_s = meta & 0xF
+        mark_s = (meta >> 4) > 0
+        n_in, overflow = sg.n_in, sg.overflow
+    else:
+        g = ragged_ball_gather(grid, level, centers, fball, fball2, K, S,
+                               sort=True)
+        slot0 = jnp.arange(K, dtype=jnp.int32)[None, :]
+        valid = slot0 < g.n_in[:, None]
+        d2_s = g.d2
+        mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
+        ptype_s = grid.ptype[g.idx]
+        mark_s = grid.mark[g.idx] & valid
+        n_in, overflow = g.n_in, g.overflow
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-    valid = slot < g.n_in[:, None]
-    mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
+    valid = slot < n_in[:, None]
     cum = jnp.cumsum(mass_s, axis=1)
     rows = jnp.arange(B)
-    n_in = g.n_in
 
     def cum_at(counts, c):
         return jnp.where(counts > 0, c[rows, jnp.maximum(counts - 1, 0)], 0.0)
@@ -68,7 +83,7 @@ def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
     for i in range(NVCIRC - 1):
         f = jnp.float32((i + 1) * (2.0 / NVCIRC))
         r = f * rvir
-        cnt = (valid & (g.d2 < (r * r)[:, None])).sum(axis=1)
+        cnt = (valid & (d2_s < (r * r)[:, None])).sum(axis=1)
         m = cum_at(cnt, cum)
         vcs.append(jnp.sqrt(grav * m / r))
     vcs.append(jnp.sqrt(grav * total_mass / fball))
@@ -82,12 +97,12 @@ def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
         ge = cum >= m[:, None]
         has = ge.any(axis=1)
         jq = jnp.where(has, jnp.argmax(ge, axis=1), jnp.maximum(n_in - 1, 0))
-        rmass.append(jnp.sqrt(g.d2[rows, jq]))
+        rmass.append(jnp.sqrt(d2_s[rows, jq]))
     rmass = jnp.stack(rmass, axis=1)
 
     # Vmax/Rmax (kd2.c:549-569): scan from the nMembers-th particle,
     # earliest maximum wins (strict > update)
-    r_s = jnp.sqrt(g.d2)
+    r_s = jnp.sqrt(d2_s)
     vc_all = jnp.sqrt(grav * cum / r_s)
     vc_all = jnp.where((slot >= n_members - 1) & valid, vc_all, -jnp.inf)
     jm = jnp.argmax(vc_all, axis=1)
@@ -99,8 +114,6 @@ def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
 
     # species mass profiles (kdMassProfile, kd2.c:458-496)
     profs = {}
-    ptype_s = grid.ptype[g.idx]
-    mark_s = grid.mark[g.idx]
     for sp in species:
         sel = mark_s if sp == MARK else (ptype_s == sp)
         cumsp = jnp.cumsum(jnp.where(sel, mass_s, 0.0), axis=1)
@@ -108,13 +121,13 @@ def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
         for i in range(NMASSPROFILE - 1):
             f = jnp.float32((i + 1) * (2.0 / NMASSPROFILE))
             r = f * rvir
-            cnt = (valid & (g.d2 < (r * r)[:, None])).sum(axis=1)
+            cnt = (valid & (d2_s < (r * r)[:, None])).sum(axis=1)
             bins.append(cum_at(cnt, cumsp))
         bins.append(cum_at(n_in, cumsp))   # last bin: everything <= 2 Rvir
         profs[sp] = jnp.stack(bins, axis=1)
 
     return dict(vcirc=vcirc, rmass=rmass, rmax=rmax, vmax=vmax,
-                profiles=profs, overflow=g.overflow, n_in=n_in)
+                profiles=profs, overflow=overflow, n_in=n_in)
 
 
 def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
@@ -136,6 +149,8 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
     todo = np.nonzero(eligible)[0]
     if todo.size == 0:
         return out
+    if getattr(grid, "soa8t", None) is not None:
+        s_max = min(s_max, 7)
     centers = np.asarray(centers, np.float32)
     rvir = np.asarray(rvir, np.float32)
     mvir = np.asarray(mvir, np.float32)

@@ -46,6 +46,7 @@ class SOParams:
     grav: float = 1.0
     grid_m: int | None = None
     verbose: bool = False
+    profile_dir: str | None = None     # jax.profiler trace output
 
 
 @dataclass
@@ -71,54 +72,67 @@ class SORun:
 
 def run_so(particles: ParticleSet, catalog: GroupCatalog, params: SOParams,
            grid: CellGrid | None = None) -> SORun:
-    t_all0 = _time.perf_counter()
-    if grid is None:
-        grid = build_grid(
-            particles.pos, particles.mass, vel=particles.vel,
-            phi=particles.phi, ptype=particles.ptype_all(),
-            mark=(particles.mark if particles.mark is not None else None),
-            period=params.period, center=params.center, m=params.grid_m)
+    from ..profiling import PhaseTimer, profile_trace
 
-    centers = np.asarray(catalog.pos, np.float32).copy()
-    rgtp = np.asarray(catalog.rgtp, np.float32)
+    timer = PhaseTimer()
+    with profile_trace(params.profile_dir):
+        if grid is None:
+            with timer.phase("grid build"):
+                grid = build_grid(
+                    particles.pos, particles.mass, vel=particles.vel,
+                    phi=particles.phi, ptype=particles.ptype_all(),
+                    mark=(particles.mark if particles.mark is not None else None),
+                    period=params.period, center=params.center, m=params.grid_m)
 
-    if params.b_pot:
-        centers = recenter_most_bound(grid, centers, rgtp)
-        catalog.pos = centers
+        centers = np.asarray(catalog.pos, np.float32).copy()
+        rgtp = np.asarray(catalog.rgtp, np.float32)
 
-    t0 = _time.perf_counter()
-    solve = solve_rvir(grid, centers, rgtp, params.threshold,
-                       n_members=params.n_members)
+        if params.b_pot:
+            with timer.phase("recenter (-pot)"):
+                centers = recenter_most_bound(grid, centers, rgtp)
+                catalog.pos = centers
 
-    ok = solve.code == 0
-    members_ok = extract_members(grid, centers[ok], solve.d2cut[ok],
-                                 solve.j[ok])
-    members: list = [None] * catalog.n
-    for slot, h in enumerate(np.nonzero(ok)[0]):
-        members[h] = members_ok[slot]
+        t0 = _time.perf_counter()
+        with timer.phase("R_Delta solve"):
+            solve = solve_rvir(grid, centers, rgtp, params.threshold,
+                               n_members=params.n_members)
 
-    # ascending input-mass processing order (kdSortMass, kd2.c:843-861)
-    order = indexx(np.asarray(catalog.gtp_mass, np.float32))
+        ok = solve.code == 0
+        with timer.phase("member extraction"):
+            members_ok, vcm_ok = extract_members(
+                grid, centers[ok], solve.d2cut[ok], solve.j[ok],
+                solve.mvir[ok])
+            members: list = [None] * catalog.n
+            for slot, h in enumerate(np.nonzero(ok)[0]):
+                members[h] = members_ok[slot]
+            solve.vcm[ok] = vcm_ok  # _VcmParticles (kd2.c:595-609)
 
-    conflicts = resolve_conflicts(catalog.index, centers, solve.mvir,
-                                  solve.rvir, solve.code, order, members,
-                                  particles.n)
+        with timer.phase("conflict protocol"):
+            # ascending input-mass order (kdSortMass, kd2.c:843-861)
+            order = indexx(np.asarray(catalog.gtp_mass, np.float32))
+            conflicts = resolve_conflicts(catalog.index, centers, solve.mvir,
+                                          solve.rvir, solve.code, order,
+                                          members, particles.n)
 
-    eligible = ok & ~conflicts.slurped_own     # kdSO eligibility (kd2.c:884)
-    derived = compute_derived(grid, centers, solve.rvir, solve.mvir, solve.j,
-                              eligible, n_members=params.n_members,
-                              species=tuple(params.species), grav=params.grav)
-    solve_seconds = _time.perf_counter() - t0
+        eligible = ok & ~conflicts.slurped_own  # kdSO eligibility (kd2.c:884)
+        with timer.phase("derived quantities"):
+            derived = compute_derived(grid, centers, solve.rvir, solve.mvir,
+                                      solve.j, eligible,
+                                      n_members=params.n_members,
+                                      species=tuple(params.species),
+                                      grav=params.grav)
+        solve_seconds = _time.perf_counter() - t0
 
-    stats = compute_stats(np.asarray(particles.mass), conflicts.igrp,
-                          conflicts.n_subsumed, conflicts.n_ignored,
-                          conflicts.mvir, conflicts.groups_removed,
-                          conflicts.groups_slurped)
+        with timer.phase("stats"):
+            stats = compute_stats(np.asarray(particles.mass), conflicts.igrp,
+                                  conflicts.n_subsumed, conflicts.n_ignored,
+                                  conflicts.mvir, conflicts.groups_removed,
+                                  conflicts.groups_slurped)
 
     if params.verbose:
-        print(f"so_tpu: solved {catalog.n} groups over {particles.n} particles "
-              f"in {solve_seconds:.3f}s (total {_time.perf_counter()-t_all0:.3f}s)",
-              file=sys.stderr)
+        timer.report(items={"R_Delta solve": catalog.n,
+                            "member extraction": catalog.n,
+                            "derived quantities": int(eligible.sum())})
 
     return SORun(catalog=catalog, solve=solve, conflicts=conflicts,
                  derived=derived, stats=stats, order=order,

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.gather import ragged_ball_gather
+from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
 
 FOUR_THIRDS_PI = np.float32(4.0 / 3.0 * np.pi)  # rhoEnclosed's 1.33333333*M_PI (kd2.c:592)
@@ -91,7 +91,8 @@ def ladder_radius(rgtp: np.ndarray, k: np.ndarray) -> np.ndarray:
 
 def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int):
     """The density scan over distance-sorted hits (shared by the single- and
-    multi-device paths). ``mass_s`` must be zero on invalid slots."""
+    multi-device paths). ``mass_s`` must be zero on invalid slots.
+    ``vel_s`` may be None (vcm is then computed later, in the member pass)."""
     B, K = d2_s.shape
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     cum = jnp.cumsum(mass_s, axis=1)
@@ -116,12 +117,27 @@ def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int):
 
     # group mean velocity over the j interior particles (_VcmParticles,
     # kd2.c:595-609) — mass-weighted over sorted prefix [0, jstar)
-    interior = slot < jstar[:, None]
-    w = jnp.where(interior, mass_s, 0.0)
-    vcm = (w[:, :, None] * vel_s).sum(axis=1) / mvir[:, None]
+    if vel_s is not None:
+        interior = slot < jstar[:, None]
+        w = jnp.where(interior, mass_s, 0.0)
+        vcm = (w[:, :, None] * vel_s).sum(axis=1) / mvir[:, None]
+    else:
+        vcm = jnp.zeros((B, 3), jnp.float32)
 
     return dict(found=found, jstar=jstar, mvir=mvir, rvir=rvir, d2cut=d2cut,
                 vcm=vcm)
+
+
+def pack_stage_out(out):
+    """Two fetch-friendly arrays: i32 (B,4) [n_in, jstar, found, overflow]
+    and f32 (B,3) [mvir, rvir, d2cut]. One D2H round-trip each over a
+    remote-device tunnel instead of eight."""
+    ints = jnp.stack([out["n_in"].astype(jnp.int32),
+                      out["jstar"].astype(jnp.int32),
+                      out["found"].astype(jnp.int32),
+                      out["overflow"].astype(jnp.int32)], axis=1)
+    flts = jnp.stack([out["mvir"], out["rvir"], out["d2cut"]], axis=1)
+    return ints, flts
 
 
 @partial(jax.jit, static_argnames=("level", "K", "S", "n_members"))
@@ -129,18 +145,23 @@ def _solve_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
                  centers, radii, thr):
     """One capacity tier: gather+sort+scan for a batch of halos.
 
-    Returns per halo: n_in (hits at this radius, for the -1 check),
-    overflow, found (success or -2), jstar, mvir, rvir, d2cut, vcm.
+    Returns packed (ints, floats) per halo — see pack_stage_out. n_in
+    feeds the -1 check; vcm comes later from the member pass.
     """
-    g = ragged_ball_gather(grid, level, centers, radii, radii * radii, K, S,
-                           sort=True)
-    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-    valid = slot < g.n_in[:, None]
-    mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
-    vel_s = grid.vel[g.idx]
-    out = scan_sorted(g.d2, mass_s, vel_s, g.n_in, thr, n_members)
+    if grid.soa8t is not None:
+        # Pallas slab path: (d2, mass) come pre-extracted at HBM bandwidth
+        g = slab_gather(grid, level, centers, radii, radii * radii, K, S,
+                        channels=("mass",))
+        out = scan_sorted(g.d2, g.channels[0], None, g.n_in, thr, n_members)
+    else:
+        g = ragged_ball_gather(grid, level, centers, radii, radii * radii,
+                               K, S, sort=True)
+        slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+        valid = slot < g.n_in[:, None]
+        mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
+        out = scan_sorted(g.d2, mass_s, None, g.n_in, thr, n_members)
     out.update(n_in=g.n_in, overflow=g.overflow)
-    return out
+    return pack_stage_out(out)
 
 
 # ---------------------------------------------------------------------------
@@ -159,11 +180,21 @@ class SolveResult:
 
 
 def _pick_level(grid: CellGrid, rmax: float, s_max: int) -> int:
-    """Finest level whose S_MAX-cube covers radius rmax."""
+    """Finest level whose S_MAX-cube covers radius rmax.
+
+    On the Pallas slab path each nonempty cell costs a CHUNK-aligned slot
+    footprint, so the level is also pushed coarse enough that mean cell
+    occupancy is a healthy fraction of the DMA chunk.
+    """
+    min_occ = 0
+    if getattr(grid, "soa8t", None) is not None:
+        from ..ops.pallas_gather import CHUNK
+        min_occ = (3 * CHUNK) // 4
     period = np.asarray(grid.period, np.float32)
     for g in range(grid.m + 1):
         cs = float(period.min()) / grid.ncell(g)
-        if 2 * int(np.ceil(rmax / cs)) + 2 <= s_max:
+        occ = grid.n / (grid.ncell(g) ** 3)
+        if 2 * int(np.ceil(rmax / cs)) + 2 <= s_max and occ >= min_occ:
             return g
     return grid.m
 
@@ -194,6 +225,12 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     centers = np.asarray(centers, np.float32)
     rgtp = np.asarray(rgtp, np.float32)
     thr32 = jnp.float32(thr)
+
+    # the slab kernel walks all S^3 cell slots sequentially per halo, so it
+    # prefers a smaller cube at a coarser (occupancy-matched) level; one
+    # static S also keeps the (slow, remote) kernel compile count down
+    if getattr(grid, "soa8t", None) is not None:
+        s_max = min(s_max, 7)
 
     code = np.zeros(G, np.int32)
     mvir = np.zeros(G, np.float32)
@@ -244,16 +281,16 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 r_pad = np.zeros(B, np.float32)
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = radii[lo:lo + chunk]
-                out = stage_fn(level, K, s_max, n_members,
-                               jnp.asarray(c_pad), jnp.asarray(r_pad), thr32)
-                n_in = np.asarray(out["n_in"])[:part.size]
-                ovf = np.asarray(out["overflow"])[:part.size]
-                found = np.asarray(out["found"])[:part.size]
-                jstar = np.asarray(out["jstar"])[:part.size]
-                o_mvir = np.asarray(out["mvir"])[:part.size]
-                o_rvir = np.asarray(out["rvir"])[:part.size]
-                o_d2c = np.asarray(out["d2cut"])[:part.size]
-                o_vcm = np.asarray(out["vcm"])[:part.size]
+                ints, flts = stage_fn(level, K, s_max, n_members,
+                                      jnp.asarray(c_pad), jnp.asarray(r_pad),
+                                      thr32)
+                ints = np.asarray(ints)[:part.size]
+                flts = np.asarray(flts)[:part.size]
+                n_in = ints[:, 0]
+                jstar = ints[:, 1]
+                found = ints[:, 2].astype(bool)
+                ovf = ints[:, 3].astype(bool)
+                o_mvir, o_rvir, o_d2c = flts[:, 0], flts[:, 1], flts[:, 2]
 
                 at_cap_k = cur_k[part] >= kmax[part]
 
@@ -282,7 +319,6 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 rvir[idx] = o_rvir[is_succ]
                 jout[idx] = jstar[is_succ]
                 d2cut[idx] = o_d2c[is_succ]
-                vcm[idx] = o_vcm[is_succ]
                 resolved[idx] = True
 
                 # escalation for the rest

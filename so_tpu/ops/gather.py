@@ -16,6 +16,13 @@ XLA program:
 
 Capacity K and cube side S are static; the host escalates K when a ball
 overflows, mirroring the reference's nnList regrow (smooth2.c:49-55).
+
+Two gather backends share the cell enumeration:
+  - ragged_ball_gather: pure-XLA (row-gather) — works on any backend,
+    returns sorted (d2, row-index) pairs.
+  - slab_gather: Pallas slab-DMA kernel (ops/pallas_gather.py) — streams
+    contiguous cell slabs at HBM bandwidth on TPU, returns sorted channel
+    stacks (d2, mass, m*v, meta, idx).
 """
 
 from __future__ import annotations
@@ -42,19 +49,21 @@ def min_image(delta, period):
     return delta - period * jnp.round(delta / period)
 
 
-@partial(jax.jit, static_argnames=("level", "K", "S", "sort"))
-def ragged_ball_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
-                       K: int, S: int, sort: bool = True) -> GatherResult:
-    """Gather all particles with min-image d2 <= r2_mask around each center.
+def cell_ranges(grid: CellGrid, level: int, centers, radii, r2_mask, S: int,
+                align: int = 1):
+    """Enumerate each ball's candidate cells at the given level.
 
-    ``radii`` sets the cell-cube coverage (must satisfy radii^2 >= r2_mask);
-    ``r2_mask`` is the inclusive distance-squared acceptance threshold,
-    matching the reference's ``fDist2 <= fBall2`` test (smooth2.c:95).
+    Returns (st, cnt, q, total): per (halo, cell) the CSR slab start, count
+    (0 for pruned / out-of-span cells), exclusive output offset, and the
+    per-halo candidate total. The INTERSECT-style per-cell min-distance
+    prune uses r2_mask so no acceptable particle is ever dropped.
+
+    ``align`` rounds each cell's slot footprint up (the Pallas slab kernel
+    needs lane-aligned store offsets); unfilled slots read as empty.
     """
     ncg = grid.ncell(level)
     cs = grid.cell_size(level)                       # (3,)
     starts = grid.starts[level]
-    n = grid.n
     B = centers.shape[0]
 
     uc = centers - grid.lo
@@ -95,8 +104,31 @@ def ragged_ball_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
     st = starts[code]
     cnt = jnp.where(cell_ok, starts[code + 1] - st, 0)  # (B,C)
 
-    q = jnp.cumsum(cnt, axis=1) - cnt                   # exclusive prefix
-    total = q[:, -1] + cnt[:, -1]
+    if align > 1:
+        # footprint covers the align-down..align-up window of the slab (the
+        # kernel reads aligned chunks and masks rows outside [st, st+cnt))
+        foot = jnp.where(cnt > 0,
+                         ((st % align) + cnt + (align - 1)) // align * align,
+                         0)
+    else:
+        foot = cnt
+    q = jnp.cumsum(foot, axis=1) - foot                 # exclusive prefix
+    total = q[:, -1] + foot[:, -1]
+    return st, cnt, q, total
+
+
+@partial(jax.jit, static_argnames=("level", "K", "S", "sort"))
+def ragged_ball_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
+                       K: int, S: int, sort: bool = True) -> GatherResult:
+    """Gather all particles with min-image d2 <= r2_mask around each center.
+
+    ``radii`` sets the cell-cube coverage (must satisfy radii^2 >= r2_mask);
+    ``r2_mask`` is the inclusive distance-squared acceptance threshold,
+    matching the reference's ``fDist2 <= fBall2`` test (smooth2.c:95).
+    """
+    n = grid.n
+    B = centers.shape[0]
+    st, cnt, q, total = cell_ranges(grid, level, centers, radii, r2_mask, S)
     overflow = total > K
 
     # ragged->dense: piecewise-constant "jump" per cell, materialized by a
@@ -119,3 +151,61 @@ def ragged_ball_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
     if sort:
         key, gidx = jax.lax.sort((key, gidx), num_keys=1, is_stable=True)
     return GatherResult(d2=key, idx=gidx, n_in=n_in, overflow=overflow)
+
+
+class SlabGatherResult(NamedTuple):
+    d2: jnp.ndarray          # (B, K) sorted ascending; +inf beyond n_in
+    channels: tuple          # requested channel stacks, sorted alongside d2
+    n_in: jnp.ndarray        # (B,) i32
+    overflow: jnp.ndarray    # (B,) bool
+
+
+@partial(jax.jit, static_argnames=("level", "K", "S", "channels"))
+def slab_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
+                K: int, S: int, channels: tuple = ("mass",)) -> SlabGatherResult:
+    """Pallas-backed gather: sorted (d2, channel...) stacks per halo.
+
+    channels is a static tuple drawn from {"mass", "mv", "meta", "idx"};
+    "mv" expands to three m*v components, "idx" to the exact source row.
+    """
+    from .pallas_gather import CH_D2, CH_MASS, CH_META, CH_MVX, CH_ILO, \
+        CH_IHI, CHUNK, decode_idx, pallas_slab_gather
+
+    st, cnt, q, total = cell_ranges(grid, level, centers, radii, r2_mask, S,
+                                    align=CHUNK)
+    overflow = total > K
+    out = pallas_slab_gather(grid.soa8t, st, cnt, q, centers, grid.period,
+                             r2_mask, K)                       # (B, 8, K)
+    d2 = out[:, CH_D2, :]
+    n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
+
+    ops = [d2]
+    for ch in channels:
+        if ch == "mass":
+            ops.append(out[:, CH_MASS, :])
+        elif ch == "mv":
+            ops.extend([out[:, CH_MVX + i, :] for i in range(3)])
+        elif ch == "meta":
+            ops.append(out[:, CH_META, :])
+        elif ch == "idx":
+            ops.extend([out[:, CH_ILO, :], out[:, CH_IHI, :]])
+        else:
+            raise ValueError(ch)
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
+    d2_s = sorted_ops[0]
+    rest = list(sorted_ops[1:])
+
+    chans = []
+    for ch in channels:
+        if ch == "mass":
+            chans.append(rest.pop(0))
+        elif ch == "mv":
+            chans.append(jnp.stack([rest.pop(0), rest.pop(0), rest.pop(0)],
+                                   axis=-1))
+        elif ch == "meta":
+            chans.append(rest.pop(0))
+        elif ch == "idx":
+            ilo, ihi = rest.pop(0), rest.pop(0)
+            chans.append(decode_idx(ilo, ihi))
+    return SlabGatherResult(d2=d2_s, channels=tuple(chans), n_in=n_in,
+                            overflow=overflow)

@@ -65,6 +65,8 @@ class CellGrid:
     mark: jnp.ndarray           # (N,)  bool
     orig_idx: jnp.ndarray       # (N,)  i32 sorted-row -> original file order
     starts: tuple               # per level g=0..m: (8^(m-g)+1,) i32
+    soa8t: jnp.ndarray | None = None  # (8, N+CHUNK) payload for the Pallas
+    #                                   slab-gather kernel (None on CPU)
 
     @property
     def n(self) -> int:
@@ -78,7 +80,8 @@ class CellGrid:
 
     def tree_flatten(self):
         children = (self.lo, self.period, self.pos, self.mass, self.vel,
-                    self.phi, self.ptype, self.mark, self.orig_idx, self.starts)
+                    self.phi, self.ptype, self.mark, self.orig_idx,
+                    self.starts, self.soa8t)
         return children, self.m
 
     @classmethod
@@ -125,11 +128,12 @@ def _build_device(m, lo, period, pos, mass, vel, phi, ptype, mark, valid=None):
 
 def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
                period=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0),
-               m: int | None = None) -> CellGrid:
+               m: int | None = None, pallas: bool | None = None) -> CellGrid:
     """Build the grid from (host or device) particle arrays.
 
     ``period``/``center`` follow the reference's -p / -c / -cx/-cy/-cz flags
     (defaults period=1^3, center=0^3; so.c:241-244).
+    ``pallas``: also build the slab-gather SoA payload (default: on TPU).
     """
     pos = jnp.asarray(pos, jnp.float32)
     n = pos.shape[0]
@@ -144,4 +148,18 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     if m is None:
         m = choose_m(n)
     out = _build_device(m, lo, period, pos, mass, vel, phi, ptype, mark)
-    return CellGrid(m, lo, period, *out)
+    grid = CellGrid(m, lo, period, *out)
+    if pallas is None:
+        import os
+        env = os.environ.get("SO_TPU_PALLAS", "auto")
+        if env == "0":
+            pallas = False
+        elif env == "1":
+            pallas = True
+        else:
+            pallas = jax.default_backend() not in ("cpu",)
+    if pallas:
+        from .pallas_gather import pack_soa8t
+        grid.soa8t = jax.jit(pack_soa8t)(grid.pos, grid.mass, grid.vel,
+                                         grid.ptype, grid.mark)
+    return grid

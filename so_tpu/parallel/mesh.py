@@ -162,20 +162,15 @@ def solve_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
                                K, S, sort=False)
         slot_valid = jnp.isfinite(g.d2)
         mass_l = jnp.where(slot_valid, grid.mass[g.idx], 0.0)
-        vel_l = jnp.where(slot_valid[:, :, None], grid.vel[g.idx], 0.0)
 
         # merge over the particle axis: ICI all_gather + one sort
         d2_all = jax.lax.all_gather(g.d2, "part", axis=1, tiled=True)
         m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
-        v_all = jax.lax.all_gather(vel_l, "part", axis=1, tiled=True)
         n_in = jax.lax.psum(g.n_in, "part")
         overflow = jax.lax.psum(g.overflow.astype(jnp.int32), "part") > 0
 
-        d2_s, m_s, vx, vy, vz = jax.lax.sort(
-            (d2_all, m_all, v_all[..., 0], v_all[..., 1], v_all[..., 2]),
-            num_keys=1, is_stable=True)
-        vel_s = jnp.stack([vx, vy, vz], axis=-1)
-        out = scan_sorted(d2_s, m_s, vel_s, n_in, thr, n_members)
+        d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1, is_stable=True)
+        out = scan_sorted(d2_s, m_s, None, n_in, thr, n_members)
         out.update(n_in=n_in, overflow=overflow)
         return out
 
@@ -198,6 +193,8 @@ def sharded_stage_fn(mesh: Mesh, sgrid: ShardedGrid):
     n_halo = mesh.shape["halo"]
 
     def stage(level, K, S, n_members, centers, radii, thr):
+        from ..engine.solver import pack_stage_out
+
         B = centers.shape[0]
         pad = (-B) % n_halo
         if pad:
@@ -208,7 +205,7 @@ def sharded_stage_fn(mesh: Mesh, sgrid: ShardedGrid):
                                   centers, radii, thr)
         if pad:
             out = {k: v[:B] for k, v in out.items()}
-        return out
+        return pack_stage_out(out)
 
     return stage
 

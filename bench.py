@@ -52,6 +52,14 @@ def main():
 
     import jax
 
+    # kernel compiles over the remote-TPU tunnel take minutes; persist them
+    if (jax.default_backend() != "cpu"
+            and not jax.config.jax_compilation_cache_dir):
+        # (CPU is excluded: this image's XLA:CPU AOT loader mis-reads its
+        # own cache entries; see tests/conftest.py)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/so_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from so_tpu.engine.solver import solve_rvir
     from so_tpu.ops import build_grid
 

@@ -1,0 +1,170 @@
+"""Multi-threshold solver: R_200c / R_200m / R_vir catalogs in one pass.
+
+The reference solves one overdensity threshold per run; multi-threshold
+catalogs (BASELINE.json's 512^3 config) would re-run the whole program.
+TPU-natively the gather+sort dominates and the density scan is nearly
+free, so this extension evaluates T thresholds against the *same* sorted
+candidate stream per halo: per threshold the scan is exactly the
+single-threshold rule (error codes included), so each output catalog
+matches an independent reference run at that threshold.
+
+The give-up ladder and the -1 check are threshold-independent (they depend
+only on geometry/counts: kd2.c:765-778), so the escalation driver tracks
+one ball per halo and a (T,)-vector of resolutions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gather import ragged_ball_gather, slab_gather
+from ..ops.grid import CellGrid
+from .solver import (_pad_to_bucket, _pick_level, ladder_radius, rvir_ladder,
+                     scan_sorted)
+
+
+@dataclass
+class MultiSolveResult:
+    """Per-(threshold, halo) results; axis 0 indexes thresholds."""
+    code: np.ndarray    # (T, G) i32
+    mvir: np.ndarray    # (T, G) f32
+    rvir: np.ndarray    # (T, G) f32
+    j: np.ndarray       # (T, G) i32
+    d2cut: np.ndarray   # (T, G) f32
+
+
+@partial(jax.jit, static_argnames=("level", "K", "S", "n_members", "T"))
+def _multi_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
+                 T: int, centers, radii, thresholds):
+    if grid.soa8t is not None:
+        g = slab_gather(grid, level, centers, radii, radii * radii, K, S,
+                        channels=("mass",))
+        d2_s, mass_s, n_in, ovf = g.d2, g.channels[0], g.n_in, g.overflow
+    else:
+        g = ragged_ball_gather(grid, level, centers, radii, radii * radii,
+                               K, S, sort=True)
+        slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+        mass_s = jnp.where(slot < g.n_in[:, None], grid.mass[g.idx], 0.0)
+        d2_s, n_in, ovf = g.d2, g.n_in, g.overflow
+
+    outs = [scan_sorted(d2_s, mass_s, None, n_in, thresholds[t], n_members)
+            for t in range(T)]
+    ints = jnp.stack([jnp.stack([o["found"].astype(jnp.int32),
+                                 o["jstar"]], axis=1) for o in outs])  # (T,B,2)
+    flts = jnp.stack([jnp.stack([o["mvir"], o["rvir"], o["d2cut"]], axis=1)
+                      for o in outs])                                  # (T,B,3)
+    return n_in, ovf, ints, flts
+
+
+def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
+                     n_members: int = 8, k0_cap: int = 4096, s_max: int = 11,
+                     slot_budget: int = 1 << 23) -> MultiSolveResult:
+    """Batched R_Delta for every (halo, threshold) pair, shared gathers."""
+    thresholds = np.asarray(thresholds, np.float32)
+    T = thresholds.shape[0]
+    G = centers.shape[0]
+    centers = np.asarray(centers, np.float32)
+    rgtp = np.asarray(rgtp, np.float32)
+    period = np.asarray(grid.period, np.float32)
+    thr_dev = jnp.asarray(thresholds)
+    if getattr(grid, "soa8t", None) is not None:
+        s_max = min(s_max, 7)
+
+    code = np.zeros((T, G), np.int32)
+    mvir = np.zeros((T, G), np.float32)
+    rvir = np.zeros((T, G), np.float32)
+    jout = np.zeros((T, G), np.int32)
+    d2cut = np.zeros((T, G), np.float32)
+    resolved = np.zeros((T, G), bool)
+
+    kmax, _cap = rvir_ladder(rgtp, period)
+    zero_iter = kmax == 0
+    for arr, v in ((code, -3), (mvir, -3.0), (rvir, -3.0)):
+        arr[:, zero_iter] = v
+    resolved[:, zero_iter] = True
+
+    cur_k = np.ones(G, np.int32)
+    cur_cap = np.full(G, k0_cap, np.int64)
+    minus1_open = np.ones(G, bool)
+    DK = 4
+    npart = grid.n
+    guard = 0
+    while not resolved.all():
+        guard += 1
+        if guard > 200:
+            raise RuntimeError("multi-threshold solver escalation runaway")
+        live = np.nonzero(~resolved.all(axis=0))[0]
+        for capacity in np.unique(cur_cap[live]):
+            sel = live[cur_cap[live] == capacity]
+            K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
+            k_eff = np.minimum(cur_k[sel], kmax[sel])
+            radii = ladder_radius(rgtp[sel], k_eff)
+            level = _pick_level(grid, float(radii.max()), s_max)
+            chunk = max(1, int(slot_budget // K))
+            for lo in range(0, sel.size, chunk):
+                part = sel[lo:lo + chunk]
+                B = _pad_to_bucket(part.size)
+                c_pad = np.zeros((B, 3), np.float32)
+                r_pad = np.zeros(B, np.float32)
+                c_pad[:part.size] = centers[part]
+                r_pad[:part.size] = radii[lo:lo + chunk]
+                n_in, ovf, ints, flts = _multi_stage(
+                    grid, level, K, s_max, n_members, T,
+                    jnp.asarray(c_pad), jnp.asarray(r_pad), thr_dev)
+                n_in = np.asarray(n_in)[:part.size]
+                ovf = np.asarray(ovf)[:part.size]
+                ints = np.asarray(ints)[:, :part.size]
+                flts = np.asarray(flts)[:, :part.size]
+                found = ints[:, :, 0].astype(bool)          # (T, b)
+                jstar = ints[:, :, 1]
+
+                at_cap_k = cur_k[part] >= kmax[part]
+                m1 = minus1_open[part]
+                is_m1 = m1 & ~ovf & (n_in < n_members)      # (b,)
+                minus1_open[part[n_in >= n_members]] = False
+
+                ok = ~ovf[None, :]
+                is_m2 = ok & found & (jstar == n_members - 2) & ~is_m1[None, :]
+                is_succ = ok & found & (jstar > n_members - 2) & ~is_m1[None, :]
+                is_m3 = (ok & ~found & at_cap_k[None, :] & ~is_m1[None, :]
+                         & ~minus1_open[part][None, :])
+
+                for t in range(T):
+                    idx = part[is_m1]
+                    code[t, idx] = -1; mvir[t, idx] = -1.0; rvir[t, idx] = -1.0
+                    resolved[t, idx] = True
+                    idx = part[is_m2[t]]
+                    code[t, idx] = -2; mvir[t, idx] = -2.0; rvir[t, idx] = -2.0
+                    resolved[t, idx] = True
+                    idx = part[is_m3[t]]
+                    code[t, idx] = -3; mvir[t, idx] = -3.0; rvir[t, idx] = -3.0
+                    resolved[t, idx] = True
+                    su = is_succ[t]
+                    idx = part[su]
+                    code[t, idx] = 0
+                    mvir[t, idx] = flts[t, su, 0]
+                    rvir[t, idx] = flts[t, su, 1]
+                    d2cut[t, idx] = flts[t, su, 2]
+                    jout[t, idx] = jstar[t, su]
+                    resolved[t, idx] = True
+
+                halo_done = resolved[:, part].all(axis=0)
+                rest = ~halo_done
+                grow_cap = rest & ovf
+                cur_cap[part[grow_cap]] = np.minimum(
+                    cur_cap[part[grow_cap]] * 4, max(npart * 2, k0_cap))
+                grow_ball = rest & ~ovf & ~at_cap_k
+                gi = part[grow_ball]
+                cur_k[gi] = np.minimum(cur_k[gi] + DK, kmax[gi])
+                vol_ratio = int(np.ceil(1.2 ** (3 * DK)))
+                est = (n_in[grow_ball].astype(np.int64) + 64) * vol_ratio
+                cur_cap[gi] = np.maximum(cur_cap[gi], np.minimum(
+                    2 ** np.ceil(np.log2(np.maximum(est, 1))).astype(np.int64),
+                    max(npart * 2, k0_cap)))
+    return MultiSolveResult(code=code, mvir=mvir, rvir=rvir, j=jout,
+                            d2cut=d2cut)

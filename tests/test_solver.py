@@ -87,3 +87,28 @@ def test_error_codes():
     rgtp = np.asarray([1e-4, 0.9, 0.15], np.float32)
     res = solve_rvir(grid, centers, rgtp, thr)
     assert list(res.code) == [-1, -3, -2]
+
+
+def test_multi_threshold_matches_independent_runs():
+    """solve_rvir_multi must equal per-threshold solve_rvir exactly."""
+    from so_tpu.engine.multi import solve_rvir_multi
+
+    rng = np.random.default_rng(31)
+    clumps = [
+        dict(center=(0.05, 0.0, 0.0), n=2000, rmax=0.05, mass_total=0.22),
+        dict(center=(-0.3, 0.2, 0.1), n=900, rmax=0.04, mass_total=0.08),
+    ]
+    data = make_clumpy_box(rng, n_background=4000, clumps=clumps)
+    grid = build_grid(data["pos"], data["mass"], m=3)
+    centers = np.array([[0.05, 0.0, 0.0], [-0.3, 0.2, 0.1],
+                        [0.4, 0.4, 0.4]], np.float32)
+    rgtp = np.array([0.03, 0.03, 0.02], np.float32)
+    thresholds = [100.0, 178.0, 500.0]
+
+    multi = solve_rvir_multi(grid, centers, rgtp, thresholds)
+    for t, thr in enumerate(thresholds):
+        single = solve_rvir(grid, centers, rgtp, thr)
+        np.testing.assert_array_equal(multi.code[t], single.code, err_msg=f"thr={thr}")
+        np.testing.assert_array_equal(multi.mvir[t], single.mvir)
+        np.testing.assert_array_equal(multi.rvir[t], single.rvir)
+        np.testing.assert_array_equal(multi.j[t], single.j)

@@ -134,7 +134,7 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                     mvir: np.ndarray, j_interior: np.ndarray,
                     eligible: np.ndarray, n_members: int = 8,
                     species: tuple = (), grav: float = 1.0,
-                    s_max: int = 11, slot_budget: int = 1 << 23) -> DerivedResult:
+                    s_max: int = 11, slot_budget: int = 1 << 25) -> DerivedResult:
     """Batched derived quantities for all eligible halos; zeros otherwise."""
     from .solver import _pick_level, _pad_to_bucket
 
@@ -157,9 +157,11 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
     npart = grid.n
     grav32 = jnp.float32(grav)
 
-    # capacity estimate: interior count scales ~8x from Rvir to 2 Rvir
+    # capacity estimate: interior count scales ~8x from Rvir to 2 Rvir;
+    # slab footprints add CHUNK-aligned padding per merged run
+    pad0 = 8192 if getattr(grid, "soa8t", None) is not None else 256
     need_cap = 2 ** np.ceil(np.log2(np.maximum(
-        j_interior.astype(np.int64) * 12 + 256, 256))).astype(np.int64)
+        j_interior.astype(np.int64) * 12 + pad0, 256))).astype(np.int64)
     guard = 0
     while todo.size:
         guard += 1
@@ -171,7 +173,7 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
             K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
             cover = (2.0 * rvir[sel]).astype(np.float32)
             level = _pick_level(grid, float(cover.max()), s_max)
-            chunk = max(1, int(slot_budget // K))
+            chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_to_bucket(part.size)
@@ -181,6 +183,11 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = rvir[part]
                 m_pad[:part.size] = mvir[part]
+                import os, sys
+                if os.environ.get("SO_TPU_DEBUG"):
+                    print(f"so_tpu[derived]: stage B={B} K={K} S={s_max} "
+                          f"level={level} n={part.size}",
+                          file=sys.stderr, flush=True)
                 o = _derived_stage(grid, level, K, s_max, n_members, species,
                                    jnp.asarray(c_pad), jnp.asarray(r_pad),
                                    jnp.asarray(m_pad), grav32)

@@ -48,7 +48,7 @@ def _members_stage(grid: CellGrid, level: int, K: int, S: int,
 
 def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                     j: np.ndarray, mvir: np.ndarray, s_max: int = 11,
-                    slot_budget: int = 1 << 23):
+                    slot_budget: int = 1 << 25):
     """Per solved halo: sorted interior original-index list (length j) and
     the group mean velocity.
 
@@ -74,7 +74,11 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     cover = np.nextafter(cover, np.float32(np.inf)) * np.float32(1.0 + 1e-6)
 
     npart = grid.n
-    need_cap = np.maximum(2 ** np.ceil(np.log2(np.maximum(j * 2 + 512, 512))
+    # slab footprints are CHUNK-aligned per merged run — budget extra slots
+    # up front so the first capacity tier usually lands (each escalation
+    # tier is another multi-minute remote kernel compile)
+    pad0 = 8192 if getattr(grid, "soa8t", None) is not None else 512
+    need_cap = np.maximum(2 ** np.ceil(np.log2(np.maximum(j * 2 + pad0, 512))
                                        ).astype(np.int64), 512)
     todo = np.arange(G)
     guard = 0
@@ -87,7 +91,7 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
             sel = todo[need_cap[todo] == capacity]
             K = int(min(capacity, max(512, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
             level = _pick_level(grid, float(cover[sel].max()), s_max)
-            chunk = max(1, int(slot_budget // K))
+            chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_to_bucket(part.size)
@@ -101,6 +105,11 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                 d_pad[:part.size] = d2cut[part]
                 j_pad[:part.size] = j[part]
                 m_pad[:part.size] = mvir[part]
+                import os, sys
+                if os.environ.get("SO_TPU_DEBUG"):
+                    print(f"so_tpu[members]: stage B={B} K={K} S={s_max} "
+                          f"level={level} n={part.size}",
+                          file=sys.stderr, flush=True)
                 orig, vc, n_in, ovf = _members_stage(
                     grid, level, K, s_max, jnp.asarray(c_pad),
                     jnp.asarray(r_pad), jnp.asarray(d_pad),

@@ -63,7 +63,7 @@ def _multi_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
 
 def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                      n_members: int = 8, k0_cap: int = 4096, s_max: int = 11,
-                     slot_budget: int = 1 << 23) -> MultiSolveResult:
+                     slot_budget: int = 1 << 25) -> MultiSolveResult:
     """Batched R_Delta for every (halo, threshold) pair, shared gathers."""
     thresholds = np.asarray(thresholds, np.float32)
     T = thresholds.shape[0]
@@ -105,7 +105,7 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
             k_eff = np.minimum(cur_k[sel], kmax[sel])
             radii = ladder_radius(rgtp[sel], k_eff)
             level = _pick_level(grid, float(radii.max()), s_max)
-            chunk = max(1, int(slot_budget // K))
+            chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_to_bucket(part.size)

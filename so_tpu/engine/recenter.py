@@ -41,7 +41,7 @@ def _recenter_stage(grid: CellGrid, level: int, K: int, S: int, centers, radii):
 
 def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                         k0_cap: int = 4096, s_max: int = 11,
-                        slot_budget: int = 1 << 23) -> np.ndarray:
+                        slot_budget: int = 1 << 25) -> np.ndarray:
     """Batched recentring for all halos; escalates capacity on overflow."""
     from .solver import _pick_level, _pad_to_bucket
 
@@ -56,7 +56,7 @@ def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
         radii = radii_all[todo]
         level = _pick_level(grid, float(radii.max()) if radii.size else 0.0, s_max)
-        chunk = max(1, int(slot_budget // K))
+        chunk = max(1, min(8192, int(slot_budget // K)))
         still = []
         for lo in range(0, todo.size, chunk):
             part = todo[lo:lo + chunk]

@@ -37,6 +37,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import partial
 
+import os
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -209,7 +212,7 @@ def _pad_to_bucket(n: int, buckets=(256, 1024, 4096)) -> int:
 def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                thr: float, n_members: int = 8,
                k0_cap: int = 4096, s_max: int = 11,
-               slot_budget: int = 1 << 23,
+               slot_budget: int = 1 << 25,
                progress=None, stage_fn=None) -> SolveResult:
     """Solve R_Delta for every halo (batched, staged capacity escalation).
 
@@ -273,7 +276,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             radii = ladder_radius(rgtp[sel], k_eff)
             level = _pick_level(grid, float(radii.max()), s_max)
             # chunk to bound B*K device memory
-            chunk = max(1, int(slot_budget // K))
+            chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_to_bucket(part.size)
@@ -281,6 +284,11 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 r_pad = np.zeros(B, np.float32)
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = radii[lo:lo + chunk]
+                if os.environ.get("SO_TPU_DEBUG"):
+                    print(f"so_tpu[solve]: stage B={B} K={K} S={s_max} "
+                          f"level={level} n={part.size} "
+                          f"rmax={float(r_pad.max()):.4g}",
+                          file=sys.stderr, flush=True)
                 ints, flts = stage_fn(level, K, s_max, n_members,
                                       jnp.asarray(c_pad), jnp.asarray(r_pad),
                                       thr32)

@@ -105,7 +105,25 @@ def cell_ranges(grid: CellGrid, level: int, centers, radii, r2_mask, S: int,
     cnt = jnp.where(cell_ok, starts[code + 1] - st, 0)  # (B,C)
 
     if align > 1:
-        # footprint covers the align-down..align-up window of the slab (the
+        # Merge adjacent slabs: Morton-neighboring cells of the cube are
+        # contiguous in the sorted particle array, so sorting candidates by
+        # slab start and fusing ranges with st[i+1] == st[i]+cnt[i] turns
+        # the cube into a handful of long runs — fewer DMA streams and far
+        # less chunk-alignment waste for the slab kernel.
+        rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+        big = jnp.int32(1 << 30)
+        key = jnp.where(cnt > 0, st, big)
+        key_s, st_s, cnt_s = jax.lax.sort((key, st, cnt), num_keys=1)
+        cnt_s = jnp.where(key_s < big, cnt_s, 0)
+        prev_end = jnp.concatenate(
+            [jnp.full((B, 1), -1, st_s.dtype), (st_s + cnt_s)[:, :-1]], axis=1)
+        is_new = st_s != prev_end
+        run_id = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+        C = st.shape[1]
+        st = jnp.zeros((B, C), st.dtype).at[rows, run_id].add(
+            jnp.where(is_new, st_s, 0))
+        cnt = jnp.zeros((B, C), cnt.dtype).at[rows, run_id].add(cnt_s)
+        # footprint covers the align-down..align-up window of each run (the
         # kernel reads aligned chunks and masks rows outside [st, st+cnt))
         foot = jnp.where(cnt > 0,
                          ((st % align) + cnt + (align - 1)) // align * align,

@@ -1,0 +1,68 @@
+"""Pallas slab-gather kernel: interpret-mode equivalence on CPU.
+
+On TPU the kernel streams Morton cell slabs with async DMA; in CI it runs
+under the Pallas interpreter on tiny shapes and must agree with the XLA
+row-gather path bit-for-bit (same candidate sets, distances, channels)."""
+
+import numpy as np
+import pytest
+
+from so_tpu.ops import build_grid
+from so_tpu.ops.gather import ragged_ball_gather, slab_gather
+
+
+@pytest.fixture(scope="module")
+def small_grid():
+    rng = np.random.default_rng(3)
+    N = 600
+    pos = rng.uniform(-0.5, 0.5, (N, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, N).astype(np.float32)
+    vel = rng.normal(size=(N, 3)).astype(np.float32)
+    ptype = rng.choice([1, 2, 4], N).astype(np.int32)
+    mark = rng.uniform(size=N) < 0.3
+    grid = build_grid(pos, mass, vel=vel, ptype=ptype, mark=mark, m=2,
+                      pallas=True)
+    return grid, rng
+
+
+def test_slab_matches_xla(small_grid):
+    import jax.numpy as jnp
+
+    grid, rng = small_grid
+    # K must hold the CHUNK-aligned per-cell footprints (cell_ranges align)
+    B, K, S = 4, 8192, 5
+    centers = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 3)).astype(np.float32))
+    radii = jnp.asarray(rng.uniform(0.05, 0.3, B).astype(np.float32))
+    r2 = radii * radii
+    ref = ragged_ball_gather(grid, 1, centers, radii, r2, 2048, S, sort=True)
+    got = slab_gather(grid, 1, centers, radii, r2, K, S,
+                      channels=("mass", "mv", "meta", "idx"))
+    assert not np.asarray(got.overflow).any()
+    np.testing.assert_array_equal(np.asarray(got.n_in), np.asarray(ref.n_in))
+    mass_np = np.asarray(grid.mass)
+    mv_np = np.asarray(grid.vel) * mass_np[:, None]
+    meta_np = (np.asarray(grid.ptype) | (np.asarray(grid.mark).astype(np.int32) << 4))
+    for b in range(B):
+        n = int(ref.n_in[b])
+        np.testing.assert_array_equal(np.asarray(got.d2[b, :n]),
+                                      np.asarray(ref.d2[b, :n]))
+        gi = np.asarray(got.channels[3][b, :n])
+        ri = np.asarray(ref.idx[b, :n])
+        np.testing.assert_array_equal(np.sort(gi), np.sort(ri))
+        np.testing.assert_array_equal(np.asarray(got.channels[0][b, :n]),
+                                      mass_np[gi])
+        np.testing.assert_allclose(np.asarray(got.channels[1][b, :n]),
+                                   mv_np[gi], rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(got.channels[2][b, :n]).astype(np.int32), meta_np[gi])
+
+
+def test_slab_overflow_flag(small_grid):
+    import jax.numpy as jnp
+
+    grid, _ = small_grid
+    centers = jnp.zeros((1, 3), jnp.float32)
+    big = jnp.asarray([0.45], jnp.float32)
+    got = slab_gather(grid, 1, centers, big, big * big, 256, 5,
+                      channels=("mass",))
+    assert bool(got.overflow[0])

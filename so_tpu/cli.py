@@ -115,6 +115,7 @@ def main(argv=None) -> int:
     tipsy_file = None
     verbose = False
     profile_dir = None
+    deltas = None
 
     def need(i):
         if i >= len(argv):
@@ -199,6 +200,11 @@ def main(argv=None) -> int:
             verbose = True; i += 1
         elif a == "--profile":
             i += 1; profile_dir = need(i); i += 1
+        elif a == "--deltas":
+            # multi-threshold extension: comma-separated overdensities, one
+            # full output set per threshold (<base>.d<delta>.*), all solved
+            # against shared gathers (engine/multi.py)
+            i += 1; deltas = [ffloat(x) for x in need(i).split(",")]; i += 1
         else:
             usage()
 
@@ -234,13 +240,6 @@ def main(argv=None) -> int:
         f_threshold *= f_omega            # so.c:479-481
 
     run_time = _time.time()
-    out_path = f"{out_base}.sovcirc"
-    fp_out = open(out_path, "w")
-    write_sovcirc_header(fp_out, run_time, gtp_file, list_file, stat_file,
-                         np.float32(f_threshold), b_threshold, f_redshift,
-                         f_omega, f_lambda, b_periodic, f_period, f_center,
-                         f_min_mass, n_members, b_pot, f_mass_unit, f_mpc_unit)
-
     catalog = read_gtp_list(gtp_file, list_file, f_min_mass, b_standard)
     sys.stderr.write(f"Read {catalog.n} groups to process.\n")
 
@@ -254,41 +253,61 @@ def main(argv=None) -> int:
     species = tuple(sp for sp, on in
                     ((DARK, b_dark), (GAS, b_gas), (STAR, b_star), (MARK, b_mark))
                     if on)
+    units = unit_conversions(f_mass_unit, f_mpc_unit, f_redshift)
+
+    def write_outputs(base, run, threshold, threshold_user):
+        with open(f"{base}.sovcirc", "w") as fp_out:
+            write_sovcirc_header(fp_out, run_time, gtp_file, list_file,
+                                 stat_file, np.float32(threshold),
+                                 threshold_user, f_redshift, f_omega,
+                                 f_lambda, b_periodic, f_period, f_center,
+                                 f_min_mass, n_members, b_pot, f_mass_unit,
+                                 f_mpc_unit)
+            # stats to stderr and the catalog file (kdOutStats)
+            sys.stderr.write(format_stats(run.stats, for_file=False))
+            fp_out.write(format_stats(run.stats, for_file=True))
+            for sp in (DARK, GAS, STAR, MARK):
+                if sp in species:
+                    write_profile_file(f"{base}.{SPECIES_EXT[sp]}", fp_out,
+                                       run_time, sp, catalog.index,
+                                       run.derived.profiles[sp], units)
+            write_sovcirc_rows(fp_out, catalog.index, run.mvir, run.rvir,
+                               run.derived.rmass, run.derived.rmax,
+                               run.derived.vmax, run.derived.vcirc, units)
+        if b_grp:
+            write_array_file(f"{base}.sogrp", run.conflicts.igrp)
+        if b_gtp:
+            write_sogtp(f"{base}.sogtp", f_time, catalog.n_in_gtp,
+                        catalog.index, run.mvir, run.rvir, catalog.pos,
+                        run.solve.vcm, b_standard)
+        if b_subsumed:
+            write_array_file(f"{base}.sosub", run.conflicts.n_subsumed)
+        if b_ignored:
+            write_array_file(f"{base}.soign", run.conflicts.n_ignored)
+
     params = SOParams(threshold=float(np.float32(f_threshold)),
                       n_members=n_members,
                       period=tuple(f_period), center=tuple(f_center),
                       b_pot=b_pot, species=species, grav=grav, verbose=verbose,
                       profile_dir=profile_dir)
-    run = run_so(particles, catalog, params)
 
-    # stats to stderr and the catalog file (kdOutStats)
-    sys.stderr.write(format_stats(run.stats, for_file=False))
-    fp_out.write(format_stats(run.stats, for_file=True))
+    if deltas is not None:
+        from .engine.pipeline import run_so_multi
 
-    units = unit_conversions(f_mass_unit, f_mpc_unit, f_redshift)
-    for sp in (DARK, GAS, STAR, MARK):
-        if sp in species:
-            write_profile_file(f"{out_base}.{SPECIES_EXT[sp]}", fp_out,
-                               run_time, sp, catalog.index,
-                               run.derived.profiles[sp], units)
-    write_sovcirc_rows(fp_out, catalog.index, run.mvir, run.rvir,
-                       run.derived.rmass, run.derived.rmax, run.derived.vmax,
-                       run.derived.vcirc, units)
-    fp_out.close()
+        thresholds = [float(np.float32(d * np.float32(f_omega)))
+                      for d in deltas]
+        runs = run_so_multi(particles, catalog, params, thresholds)
+        for d, thr, run in zip(deltas, thresholds, runs):
+            dstr = ("%g" % d).replace("+", "")
+            write_outputs(f"{out_base}.d{dstr}", run, thr, True)
+        solve_seconds = runs[-1].solve_seconds if runs else 0.0
+    else:
+        run = run_so(particles, catalog, params)
+        write_outputs(out_base, run, f_threshold, b_threshold)
+        solve_seconds = run.solve_seconds
 
-    if b_grp:
-        write_array_file(f"{out_base}.sogrp", run.conflicts.igrp)
-    if b_gtp:
-        write_sogtp(f"{out_base}.sogtp", f_time, catalog.n_in_gtp,
-                    catalog.index, run.mvir, run.rvir, catalog.pos,
-                    run.solve.vcm, b_standard)
-    if b_subsumed:
-        write_array_file(f"{out_base}.sosub", run.conflicts.n_subsumed)
-    if b_ignored:
-        write_array_file(f"{out_base}.soign", run.conflicts.n_ignored)
-
-    sec = int(run.solve_seconds)
-    usec = int((run.solve_seconds - sec) * 1e6)
+    sec = int(solve_seconds)
+    usec = int((solve_seconds - sec) * 1e6)
     sys.stderr.write("SO CPU Time:")
     sys.stderr.write("   %d.%06d\n\n" % (sec, usec))
     return 0

@@ -97,43 +97,92 @@ def run_so(particles: ParticleSet, catalog: GroupCatalog, params: SOParams,
             solve = solve_rvir(grid, centers, rgtp, params.threshold,
                                n_members=params.n_members)
 
-        ok = solve.code == 0
-        with timer.phase("member extraction"):
-            members_ok, vcm_ok = extract_members(
-                grid, centers[ok], solve.d2cut[ok], solve.j[ok],
-                solve.mvir[ok])
-            members: list = [None] * catalog.n
-            for slot, h in enumerate(np.nonzero(ok)[0]):
-                members[h] = members_ok[slot]
-            solve.vcm[ok] = vcm_ok  # _VcmParticles (kd2.c:595-609)
-
-        with timer.phase("conflict protocol"):
-            # ascending input-mass order (kdSortMass, kd2.c:843-861)
-            order = indexx(np.asarray(catalog.gtp_mass, np.float32))
-            conflicts = resolve_conflicts(catalog.index, centers, solve.mvir,
-                                          solve.rvir, solve.code, order,
-                                          members, particles.n)
-
-        eligible = ok & ~conflicts.slurped_own  # kdSO eligibility (kd2.c:884)
-        with timer.phase("derived quantities"):
-            derived = compute_derived(grid, centers, solve.rvir, solve.mvir,
-                                      solve.j, eligible,
-                                      n_members=params.n_members,
-                                      species=tuple(params.species),
-                                      grav=params.grav)
-        solve_seconds = _time.perf_counter() - t0
-
-        with timer.phase("stats"):
-            stats = compute_stats(np.asarray(particles.mass), conflicts.igrp,
-                                  conflicts.n_subsumed, conflicts.n_ignored,
-                                  conflicts.mvir, conflicts.groups_removed,
-                                  conflicts.groups_slurped)
+        run = _post_solve(grid, particles, catalog, centers, solve, params,
+                          timer)
+        run.solve_seconds = _time.perf_counter() - t0
 
     if params.verbose:
         timer.report(items={"R_Delta solve": catalog.n,
-                            "member extraction": catalog.n,
-                            "derived quantities": int(eligible.sum())})
+                            "member extraction": catalog.n})
+    return run
+
+
+def run_so_multi(particles: ParticleSet, catalog: GroupCatalog,
+                 params: SOParams, thresholds) -> list[SORun]:
+    """Multi-threshold pipeline: one grid + one shared-gather solve pass
+    (engine.multi), then the full per-threshold post-processing — each
+    returned SORun equals an independent run_so at that threshold."""
+    from ..profiling import PhaseTimer, profile_trace
+    from .multi import solve_rvir_multi
+    from .solver import SolveResult
+
+    timer = PhaseTimer()
+    runs: list[SORun] = []
+    with profile_trace(params.profile_dir):
+        with timer.phase("grid build"):
+            grid = build_grid(
+                particles.pos, particles.mass, vel=particles.vel,
+                phi=particles.phi, ptype=particles.ptype_all(),
+                mark=(particles.mark if particles.mark is not None else None),
+                period=params.period, center=params.center, m=params.grid_m)
+        centers = np.asarray(catalog.pos, np.float32).copy()
+        rgtp = np.asarray(catalog.rgtp, np.float32)
+        if params.b_pot:
+            with timer.phase("recenter (-pot)"):
+                centers = recenter_most_bound(grid, centers, rgtp)
+                catalog.pos = centers
+
+        t0 = _time.perf_counter()
+        with timer.phase("R_Delta solve (multi)"):
+            multi = solve_rvir_multi(grid, centers, rgtp, thresholds,
+                                     n_members=params.n_members)
+        for t in range(len(thresholds)):
+            solve_t = SolveResult(
+                code=multi.code[t].copy(), mvir=multi.mvir[t].copy(),
+                rvir=multi.rvir[t].copy(), j=multi.j[t].copy(),
+                d2cut=multi.d2cut[t].copy(),
+                vcm=np.zeros((catalog.n, 3), np.float32))
+            run = _post_solve(grid, particles, catalog, centers, solve_t,
+                              params, timer)
+            run.solve_seconds = _time.perf_counter() - t0
+            runs.append(run)
+    if params.verbose:
+        timer.report()
+    return runs
+
+
+def _post_solve(grid, particles, catalog, centers, solve, params,
+                timer) -> SORun:
+    ok = solve.code == 0
+    with timer.phase("member extraction"):
+        members_ok, vcm_ok = extract_members(
+            grid, centers[ok], solve.d2cut[ok], solve.j[ok],
+            solve.mvir[ok])
+        members: list = [None] * catalog.n
+        for slot, h in enumerate(np.nonzero(ok)[0]):
+            members[h] = members_ok[slot]
+        solve.vcm[ok] = vcm_ok  # _VcmParticles (kd2.c:595-609)
+
+    with timer.phase("conflict protocol"):
+        # ascending input-mass order (kdSortMass, kd2.c:843-861)
+        order = indexx(np.asarray(catalog.gtp_mass, np.float32))
+        conflicts = resolve_conflicts(catalog.index, centers, solve.mvir,
+                                      solve.rvir, solve.code, order,
+                                      members, particles.n)
+
+    eligible = ok & ~conflicts.slurped_own  # kdSO eligibility (kd2.c:884)
+    with timer.phase("derived quantities"):
+        derived = compute_derived(grid, centers, solve.rvir, solve.mvir,
+                                  solve.j, eligible,
+                                  n_members=params.n_members,
+                                  species=tuple(params.species),
+                                  grav=params.grav)
+
+    with timer.phase("stats"):
+        stats = compute_stats(np.asarray(particles.mass), conflicts.igrp,
+                              conflicts.n_subsumed, conflicts.n_ignored,
+                              conflicts.mvir, conflicts.groups_removed,
+                              conflicts.groups_slurped)
 
     return SORun(catalog=catalog, solve=solve, conflicts=conflicts,
-                 derived=derived, stats=stats, order=order,
-                 solve_seconds=solve_seconds)
+                 derived=derived, stats=stats, order=order)

@@ -38,7 +38,7 @@ so_tpu -i <SKID .gtp file> [-o <outfilebase>] [([-dark] [-gas] [-star]) || [-all
       [-p <xyzPeriod>]  [-c <xyzCenter>]
       [-cx <xCenter>]  [-cy <yCenter>]  [-cz <zCenter>]
       [-u <fMassUnit> <fMpcUnit>]
-      [--tipsy <snapshot>] [--verbose] [--profile <trace-dir>]
+      [--tipsy <snapshot>] [--verbose] [--profile <trace-dir>] [--deltas d1,d2,...]
 
 Spherical-overdensity halo characterization (TPU-native engine). For every
 group center in the input .gtp catalog, finds the smallest radius R inside

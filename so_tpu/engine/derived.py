@@ -44,30 +44,11 @@ class DerivedResult:
     profiles: dict        # species -> (G, NMASSPROFILE) f32 for requested species
 
 
-@partial(jax.jit, static_argnames=("level", "K", "S", "n_members", "species"))
-def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
-                   species: tuple, centers, rvir, mvir, grav):
-    B = centers.shape[0]
-    fball = jnp.float32(2.0) * rvir
-    fball2 = fball * fball
-    if grid.soa8t is not None:
-        sg = slab_gather(grid, level, centers, fball, fball2, K, S,
-                         channels=("mass", "meta"))
-        d2_s, mass_s = sg.d2, sg.channels[0]
-        meta = sg.channels[1].astype(jnp.int32)
-        ptype_s = meta & 0xF
-        mark_s = (meta >> 4) > 0
-        n_in, overflow = sg.n_in, sg.overflow
-    else:
-        g = ragged_ball_gather(grid, level, centers, fball, fball2, K, S,
-                               sort=True)
-        slot0 = jnp.arange(K, dtype=jnp.int32)[None, :]
-        valid = slot0 < g.n_in[:, None]
-        d2_s = g.d2
-        mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
-        ptype_s = grid.ptype[g.idx]
-        mark_s = grid.mark[g.idx] & valid
-        n_in, overflow = g.n_in, g.overflow
+def derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir, mvir,
+                        fball, n_members: int, species: tuple, grav):
+    """All kdVcirc/kdMassProfile quantities from distance-sorted hits —
+    shared by the single-device stage and the shard_map merge path."""
+    B, K = d2_s.shape
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     valid = slot < n_in[:, None]
     cum = jnp.cumsum(mass_s, axis=1)
@@ -127,7 +108,36 @@ def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
         profs[sp] = jnp.stack(bins, axis=1)
 
     return dict(vcirc=vcirc, rmass=rmass, rmax=rmax, vmax=vmax,
-                profiles=profs, overflow=overflow, n_in=n_in)
+                profiles=profs, n_in=n_in)
+
+
+@partial(jax.jit, static_argnames=("level", "K", "S", "n_members", "species"))
+def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
+                   species: tuple, centers, rvir, mvir, grav):
+    fball = jnp.float32(2.0) * rvir
+    fball2 = fball * fball
+    if grid.soa8t is not None:
+        sg = slab_gather(grid, level, centers, fball, fball2, K, S,
+                         channels=("mass", "meta"))
+        d2_s, mass_s = sg.d2, sg.channels[0]
+        meta = sg.channels[1].astype(jnp.int32)
+        ptype_s = meta & 0xF
+        mark_s = (meta >> 4) > 0
+        n_in, overflow = sg.n_in, sg.overflow
+    else:
+        g = ragged_ball_gather(grid, level, centers, fball, fball2, K, S,
+                               sort=True)
+        slot0 = jnp.arange(K, dtype=jnp.int32)[None, :]
+        valid = slot0 < g.n_in[:, None]
+        d2_s = g.d2
+        mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
+        ptype_s = grid.ptype[g.idx]
+        mark_s = grid.mark[g.idx] & valid
+        n_in, overflow = g.n_in, g.overflow
+    out = derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir,
+                              mvir, fball, n_members, species, grav)
+    out.update(overflow=overflow)
+    return out
 
 
 def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
@@ -136,7 +146,7 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                     species: tuple = (), grav: float = 1.0,
                     s_max: int = 11, slot_budget: int = 1 << 25) -> DerivedResult:
     """Batched derived quantities for all eligible halos; zeros otherwise."""
-    from .solver import _pick_level, _pad_to_bucket
+    from .solver import _pick_level_span, _pad_to_bucket
 
     G = centers.shape[0]
     out = DerivedResult(
@@ -172,7 +182,7 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
             sel = todo[need_cap[todo] == capacity]
             K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
             cover = (2.0 * rvir[sel]).astype(np.float32)
-            level = _pick_level(grid, float(cover.max()), s_max)
+            level, S = _pick_level_span(grid, float(cover.max()), s_max)
             chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
@@ -185,10 +195,10 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                 m_pad[:part.size] = mvir[part]
                 import os, sys
                 if os.environ.get("SO_TPU_DEBUG"):
-                    print(f"so_tpu[derived]: stage B={B} K={K} S={s_max} "
+                    print(f"so_tpu[derived]: stage B={B} K={K} S={S} "
                           f"level={level} n={part.size}",
                           file=sys.stderr, flush=True)
-                o = _derived_stage(grid, level, K, s_max, n_members, species,
+                o = _derived_stage(grid, level, K, S, n_members, species,
                                    jnp.asarray(c_pad), jnp.asarray(r_pad),
                                    jnp.asarray(m_pad), grav32)
                 ovf = np.asarray(o["overflow"])[:part.size]

@@ -56,7 +56,7 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     boundary may gather a few extra hits, which are truncated to j exactly
     as the reference's walk stops at j (kd2.c:663-670).
     """
-    from .solver import _pick_level, _pad_to_bucket
+    from .solver import _pick_level_span, _pad_to_bucket
 
     if getattr(grid, "soa8t", None) is not None:
         s_max = min(s_max, 7)
@@ -90,7 +90,7 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
         for capacity in np.unique(need_cap[todo]):
             sel = todo[need_cap[todo] == capacity]
             K = int(min(capacity, max(512, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
-            level = _pick_level(grid, float(cover[sel].max()), s_max)
+            level, S = _pick_level_span(grid, float(cover[sel].max()), s_max)
             chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
@@ -107,11 +107,11 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                 m_pad[:part.size] = mvir[part]
                 import os, sys
                 if os.environ.get("SO_TPU_DEBUG"):
-                    print(f"so_tpu[members]: stage B={B} K={K} S={s_max} "
+                    print(f"so_tpu[members]: stage B={B} K={K} S={S} "
                           f"level={level} n={part.size}",
                           file=sys.stderr, flush=True)
                 orig, vc, n_in, ovf = _members_stage(
-                    grid, level, K, s_max, jnp.asarray(c_pad),
+                    grid, level, K, S, jnp.asarray(c_pad),
                     jnp.asarray(r_pad), jnp.asarray(d_pad),
                     jnp.asarray(j_pad), jnp.asarray(m_pad))
                 orig = np.asarray(orig)[:part.size]

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
-from .solver import (_pad_to_bucket, _pick_level, ladder_radius, rvir_ladder,
+from .solver import (_pad_to_bucket, _pick_level_span, ladder_radius, rvir_ladder,
                      scan_sorted)
 
 
@@ -104,7 +104,7 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
             K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
             k_eff = np.minimum(cur_k[sel], kmax[sel])
             radii = ladder_radius(rgtp[sel], k_eff)
-            level = _pick_level(grid, float(radii.max()), s_max)
+            level, S = _pick_level_span(grid, float(radii.max()), s_max)
             chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
@@ -114,7 +114,7 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = radii[lo:lo + chunk]
                 n_in, ovf, ints, flts = _multi_stage(
-                    grid, level, K, s_max, n_members, T,
+                    grid, level, K, S, n_members, T,
                     jnp.asarray(c_pad), jnp.asarray(r_pad), thr_dev)
                 n_in = np.asarray(n_in)[:part.size]
                 ovf = np.asarray(ovf)[:part.size]

@@ -43,7 +43,7 @@ def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                         k0_cap: int = 4096, s_max: int = 11,
                         slot_budget: int = 1 << 25) -> np.ndarray:
     """Batched recentring for all halos; escalates capacity on overflow."""
-    from .solver import _pick_level, _pad_to_bucket
+    from .solver import _pick_level_span, _pad_to_bucket
 
     G = centers.shape[0]
     centers = np.asarray(centers, np.float32)
@@ -55,7 +55,7 @@ def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     while todo.size:
         K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
         radii = radii_all[todo]
-        level = _pick_level(grid, float(radii.max()) if radii.size else 0.0, s_max)
+        level, S = _pick_level_span(grid, float(radii.max()) if radii.size else 0.0, s_max)
         chunk = max(1, min(8192, int(slot_budget // K)))
         still = []
         for lo in range(0, todo.size, chunk):
@@ -65,7 +65,7 @@ def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             r_pad = np.zeros(B, np.float32)
             c_pad[:part.size] = centers[part]
             r_pad[:part.size] = radii_all[part]
-            nc, n_in, ovf = _recenter_stage(grid, level, K, s_max,
+            nc, n_in, ovf = _recenter_stage(grid, level, K, S,
                                             jnp.asarray(c_pad), jnp.asarray(r_pad))
             nc = np.asarray(nc)[:part.size]
             ovf = np.asarray(ovf)[:part.size]

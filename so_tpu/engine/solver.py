@@ -202,6 +202,16 @@ def _pick_level(grid: CellGrid, rmax: float, s_max: int) -> int:
     return grid.m
 
 
+def _pick_level_span(grid: CellGrid, rmax: float, s_max: int) -> tuple[int, int]:
+    """(level, S): the level as above plus the smallest cube side actually
+    covering rmax there — the cell-enumeration cost scales with S^3, so a
+    tight S beats always using s_max."""
+    g = _pick_level(grid, rmax, s_max)
+    cs = float(np.asarray(grid.period, np.float32).min()) / grid.ncell(g)
+    span = min(int(2 * rmax / cs) + 2, s_max, grid.ncell(g))
+    return g, max(span, 1)
+
+
 def _pad_to_bucket(n: int, buckets=(256, 1024, 4096)) -> int:
     for b in buckets:
         if n <= b:
@@ -274,7 +284,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
             k_eff = np.minimum(cur_k[sel], kmax[sel])
             radii = ladder_radius(rgtp[sel], k_eff)
-            level = _pick_level(grid, float(radii.max()), s_max)
+            level, S = _pick_level_span(grid, float(radii.max()), s_max)
             # chunk to bound B*K device memory
             chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
@@ -285,11 +295,11 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = radii[lo:lo + chunk]
                 if os.environ.get("SO_TPU_DEBUG"):
-                    print(f"so_tpu[solve]: stage B={B} K={K} S={s_max} "
+                    print(f"so_tpu[solve]: stage B={B} K={K} S={S} "
                           f"level={level} n={part.size} "
                           f"rmax={float(r_pad.max()):.4g}",
                           file=sys.stderr, flush=True)
-                ints, flts = stage_fn(level, K, s_max, n_members,
+                ints, flts = stage_fn(level, K, S, n_members,
                                       jnp.asarray(c_pad), jnp.asarray(r_pad),
                                       thr32)
                 ints = np.asarray(ints)[:part.size]

@@ -4,27 +4,24 @@ The XLA path materializes per-slot row indices and gathers particle rows
 one at a time (ops/gather.py) — generic TPU gathers lower to slow
 element-wise loops (~300 ms for a 4096x4096 stage on v5e). But a ball's
 candidates are *contiguous slabs* of the Morton-sorted particle array (one
-per intersecting cell), so this kernel instead streams each cell's slab
-from HBM with async DMA and computes min-image distances on the VPU:
+per intersecting cell, pre-merged into maximal runs by cell_ranges), so
+this kernel streams them with double-buffered async DMA instead:
 
-  per halo (grid program):
-    init the halo's output block to d2=+inf
-    for each candidate cell (counts/starts/offsets precomputed in XLA):
-      for each CHUNK-wide piece of the slab:
-        DMA soa[:, off:off+CHUNK] -> VMEM
-        d2 = min-image distance to the center
-        out[:, q+i*CHUNK : ...] = [d2, mass, m*v, meta, idx_lo, idx_hi]
-        (rows beyond the cell count keep previous contents; out-of-ball
-         rows get d2=+inf and zero payload)
+  XLA precompute (chunk_descriptors): each halo's merged slab runs are cut
+  into CHUNK-aligned pieces and laid out densely — chunk t of a halo reads
+  soa[:, src_t : src_t+CHUNK] (src_t = a0_t + t*CHUNK, 128-aligned) and
+  writes output slots [t*CHUNK, (t+1)*CHUNK); rows outside the run's
+  [lo_t, hi_t) range are masked.
 
-Output layout (slot = cell-candidate rank) matches the XLA path, so the
-downstream sort + density scan are unchanged.
+  kernel: one program per halo; a fori_loop over its chunks with two VMEM
+  buffers — chunk t+1's DMA is in flight while chunk t computes min-image
+  d2 on the VPU, so the per-transfer latency hides behind compute.
 
-Particle payload is a transposed (8, N_pad) float32 SoA (lane-friendly):
-  rows: [x, y, z, mass, m*vx, m*vy, m*vz, meta]
-meta packs species|mark<<4 as a small exact float. Output channels:
-  [d2, mass, m*vx, m*vy, m*vz, meta, idx_lo, idx_hi]
-where idx = idx_lo + 4096*idx_hi is the exact source row (f32-exact split).
+Output layout (B, 8, K) channels: [d2, mass, m*vx, m*vy, m*vz, meta,
+idx_lo, idx_hi]; out-of-ball and pad slots carry d2=+inf / zero payload.
+idx = idx_lo + 4096*idx_hi is the exact source row (f32-exact split).
+Particle payload is a transposed (8, N_pad) float32 SoA:
+  rows: [x, y, z, mass, m*vx, m*vy, m*vz, meta], meta = species | mark<<4.
 """
 
 from __future__ import annotations
@@ -54,99 +51,120 @@ def pack_soa8t(pos, mass, vel, ptype, mark):
     return jnp.concatenate([soa.astype(jnp.float32), pad], axis=1)
 
 
-def _gather_kernel(start_ref, cnt_ref, q_ref, center_ref, soa_hbm,
+def chunk_descriptors(st, cnt, q, K: int):
+    """Cut merged slab runs into dense CHUNK descriptors.
+
+    Returns per (halo, chunk t < NC): a0 (src_t = a0 + t*CHUNK, aligned),
+    lo/hi (valid source-row range), and n_chunks per halo. Output slots of
+    chunk t are exactly [t*CHUNK, (t+1)*CHUNK), so no destination offsets
+    are needed and every store is lane-aligned.
+    """
+    B, C = st.shape
+    NC = (K + CHUNK) // CHUNK
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    astart = (st // CHUNK) * CHUNK
+    foot = jnp.where(cnt > 0,
+                     ((st % CHUNK) + cnt + (CHUNK - 1)) // CHUNK * CHUNK, 0)
+    nch = foot // CHUNK
+    qc = q // CHUNK                       # first chunk slot of each run
+    n_total = jnp.minimum(nch.sum(axis=1), NC).astype(jnp.int32)
+
+    def seg_const(vals):
+        """Piecewise-constant per-run value expanded to chunk slots."""
+        diffs = jnp.concatenate([vals[:, :1], vals[:, 1:] - vals[:, :-1]],
+                                axis=1)
+        arr = jnp.zeros((B, NC), vals.dtype).at[rows, qc].add(diffs,
+                                                              mode="drop")
+        return jnp.cumsum(arr, axis=1)
+
+    a0 = seg_const(astart - qc * CHUNK)   # src_t = a0 + t*CHUNK
+    lo = seg_const(st)
+    hi = seg_const(st + cnt)
+    # chunks beyond n_total keep garbage descriptors; the kernel's loop
+    # bound n_total never reaches them
+    return a0, lo, hi, n_total
+
+
+def _gather_kernel(a0_ref, lo_ref, hi_ref, center_ref, soa_hbm,
                    out_ref, scratch, sem):
-    """One program = one halo; streams its candidate cell slabs."""
-    C = start_ref.shape[2]
+    """One program = one halo; double-buffered chunk stream."""
     Kp = out_ref.shape[2]
     cx, cy, cz = center_ref[0, 0, 0], center_ref[0, 0, 1], center_ref[0, 0, 2]
     r2 = center_ref[0, 0, 3]
     px, py, pz = (center_ref[0, 0, 4], center_ref[0, 0, 5],
                   center_ref[0, 0, 6])
+    n = center_ref[0, 0, 7].astype(jnp.int32)
 
     out_ref[0, :, :] = jnp.concatenate(
         [jnp.full((1, Kp), jnp.inf, jnp.float32),
          jnp.zeros((7, Kp), jnp.float32)], axis=0)
 
-    def do_cell(c, _):
-        cnt = cnt_ref[0, 0, c]
+    def dma(slot, t):
+        src = pl.multiple_of(a0_ref[0, 0, t] + t * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            soa_hbm.at[:, pl.ds(src, CHUNK)], scratch.at[slot], sem.at[slot])
 
-        @pl.when(cnt > 0)
-        def _():
-            start = start_ref[0, 0, c]
-            q = q_ref[0, 0, c]
-            astart = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
-            nch = pl.cdiv(start - astart + cnt, CHUNK)
-            # capacity clamp: overflowing halos are discarded and re-run at
-            # a bigger K by the host driver; never write out of bounds
-            nch = jnp.minimum(nch, jnp.maximum(Kp - q, 0) // CHUNK)
+    @pl.when(n > 0)
+    def _():
+        dma(0, 0).start()
 
-            def do_chunk(i, _):
-                off = pl.multiple_of(astart + i * CHUNK, CHUNK)
-                dma = pltpu.make_async_copy(
-                    soa_hbm.at[:, pl.ds(off, CHUNK)], scratch, sem)
-                dma.start()
-                dma.wait()
-                dx = cx - scratch[0:1, :]
-                dy = cy - scratch[1:2, :]
-                dz = cz - scratch[2:3, :]
-                dx = dx - px * jnp.round(dx / px)
-                dy = dy - py * jnp.round(dy / py)
-                dz = dz - pz * jnp.round(dz / pz)
-                d2 = dx * dx + dy * dy + dz * dz          # (1, CHUNK)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-                row = off + lane                          # global source row
-                in_cell = (row >= start) & (row < start + cnt)
-                in_ball = in_cell & (d2 <= r2)
-                idx = row.astype(jnp.int32)
-                ilo = jnp.where(in_ball, (idx & 0xFFF).astype(jnp.float32), 0.0)
-                ihi = jnp.where(in_ball, (idx >> 12).astype(jnp.float32), 0.0)
-                payload = jnp.where(in_ball, scratch[3:8, :], 0.0)  # (5, CHUNK)
-                rows = jnp.concatenate([
-                    jnp.where(in_ball, d2, jnp.inf),
-                    payload, ilo, ihi], axis=0)           # (8, CHUNK)
-                # q offsets are CHUNK-aligned by construction
-                # (cell_ranges align=CHUNK)
-                off_out = pl.multiple_of(q + i * CHUNK, CHUNK)
-                sl = (0, slice(None), pl.ds(off_out, CHUNK))
-                out_ref[sl] = jnp.where(
-                    in_cell, rows,
-                    jnp.concatenate([jnp.full((1, CHUNK), jnp.inf,
-                                              jnp.float32),
-                                     jnp.zeros((7, CHUNK), jnp.float32)],
-                                    axis=0))
-                return 0
+        def body(t, _):
+            slot = t % 2
 
-            jax.lax.fori_loop(0, nch, do_chunk, 0, unroll=False)
+            @pl.when(t + 1 < n)
+            def _():
+                dma((t + 1) % 2, t + 1).start()
 
-        return 0
+            dma(slot, t).wait()
+            buf = scratch[slot]
+            src = a0_ref[0, 0, t] + t * CHUNK
+            dx = cx - buf[0:1, :]
+            dy = cy - buf[1:2, :]
+            dz = cz - buf[2:3, :]
+            dx = dx - px * jnp.round(dx / px)
+            dy = dy - py * jnp.round(dy / py)
+            dz = dz - pz * jnp.round(dz / pz)
+            d2 = dx * dx + dy * dy + dz * dz          # (1, CHUNK)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            row = src + lane                          # global source rows
+            in_cell = (row >= lo_ref[0, 0, t]) & (row < hi_ref[0, 0, t])
+            in_ball = in_cell & (d2 <= r2)
+            ilo = jnp.where(in_ball, (row & 0xFFF).astype(jnp.float32), 0.0)
+            ihi = jnp.where(in_ball, (row >> 12).astype(jnp.float32), 0.0)
+            payload = jnp.where(in_ball, buf[3:8, :], 0.0)     # (5, CHUNK)
+            vals = jnp.concatenate([
+                jnp.where(in_ball, d2, jnp.inf), payload, ilo, ihi], axis=0)
+            pad_rows = jnp.concatenate(
+                [jnp.full((1, CHUNK), jnp.inf, jnp.float32),
+                 jnp.zeros((7, CHUNK), jnp.float32)], axis=0)
+            dst = pl.multiple_of(t * CHUNK, CHUNK)
+            out_ref[0, :, pl.ds(dst, CHUNK)] = jnp.where(in_cell, vals,
+                                                         pad_rows)
+            return 0
 
-    jax.lax.fori_loop(0, C, do_cell, 0, unroll=False)
+        jax.lax.fori_loop(0, n, body, 0, unroll=False)
 
 
 @partial(jax.jit, static_argnames=("K",))
 def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int):
-    """(B,C) cell ranges -> (B, 8, K) slotted channels (see module doc)."""
+    """(B,C) merged slab runs -> (B, 8, K) slotted channels (module doc)."""
     B, C = starts.shape
-    Kp = K + CHUNK   # chunk-write overrun guard, sliced off on return
+    NC = (K + CHUNK) // CHUNK
+    Kp = NC * CHUNK
+    a0, lo, hi, n_total = chunk_descriptors(starts, cnts, qs, K)
     cp = jnp.concatenate([
         centers.astype(jnp.float32), r2[:, None].astype(jnp.float32),
         jnp.broadcast_to(period[None, :].astype(jnp.float32), (B, 3)),
-        jnp.zeros((B, 1), jnp.float32)], axis=1)          # (B, 8)
-    # 3D shapes so per-halo blocks match the trailing array dims exactly
-    # (Mosaic block-shape rule)
-    starts3 = starts[:, None, :]
-    cnts3 = cnts[:, None, :]
-    qs3 = qs[:, None, :]
-    cp3 = cp[:, None, :]
+        n_total[:, None].astype(jnp.float32)], axis=1)    # (B, 8)
     out = pl.pallas_call(
         _gather_kernel,
         interpret=jax.default_backend() == "cpu",   # CI runs on CPU
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),          # SoA stays in HBM
         ],
@@ -154,10 +172,10 @@ def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 8, Kp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 8, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(starts3, cnts3, qs3, cp3, soa8t)
+    )(a0[:, None, :], lo[:, None, :], hi[:, None, :], cp[:, None, :], soa8t)
     return out[:, :, :K]
 
 

@@ -187,6 +187,56 @@ def solve_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
     )(sgrid, centers, radii, thr)
 
 
+@partial(jax.jit, static_argnames=("mesh", "level", "K", "S", "n_members",
+                                   "species"))
+def derived_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
+                          S: int, n_members: int, species: tuple,
+                          centers, rvir, mvir, grav):
+    """Sharded kdVcirc/kdMassProfile: per-shard gathers at 2*Rvir are
+    all_gathered over 'part' (ICI) and merge-sorted; the species profile
+    partial sums are thereby exactly merged across particle shards (the
+    'psum-merged profiles' of the multi-host configuration)."""
+    from ..engine.derived import derived_from_sorted
+
+    def body(sg: ShardedGrid, centers, rvir, mvir, grav):
+        grid = sg.local_cellgrid()
+        fball = jnp.float32(2.0) * rvir
+        g = ragged_ball_gather(grid, level, centers, fball, fball * fball,
+                               K, S, sort=False)
+        ok = jnp.isfinite(g.d2)
+        mass_l = jnp.where(ok, grid.mass[g.idx], 0.0)
+        ptype_l = jnp.where(ok, grid.ptype[g.idx], -1).astype(jnp.float32)
+        mark_l = jnp.where(ok & grid.mark[g.idx], 1.0, 0.0)
+
+        d2_all = jax.lax.all_gather(g.d2, "part", axis=1, tiled=True)
+        m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
+        t_all = jax.lax.all_gather(ptype_l, "part", axis=1, tiled=True)
+        k_all = jax.lax.all_gather(mark_l, "part", axis=1, tiled=True)
+        n_in = jax.lax.psum(g.n_in, "part")
+        overflow = jax.lax.psum(g.overflow.astype(jnp.int32), "part") > 0
+
+        d2_s, m_s, t_s, k_s = jax.lax.sort((d2_all, m_all, t_all, k_all),
+                                           num_keys=1, is_stable=True)
+        out = derived_from_sorted(d2_s, m_s, t_s.astype(jnp.int32), k_s > 0,
+                                  n_in, rvir, mvir, fball, n_members,
+                                  species, grav)
+        out.update(overflow=overflow)
+        return out
+
+    specs_grid = ShardedGrid(
+        sgrid.m, P(), P(), *(P("part"),) * 7,
+        tuple(P("part") for _ in sgrid.starts))
+    out_keys = ["vcirc", "rmass", "rmax", "vmax", "n_in", "overflow"]
+    out_specs = {k: P("halo") for k in out_keys}
+    out_specs["profiles"] = {sp: P("halo") for sp in species}
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(specs_grid, P("halo"), P("halo"), P("halo"), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )(sgrid, centers, rvir, mvir, grav)
+
+
 def sharded_stage_fn(mesh: Mesh, sgrid: ShardedGrid):
     """Adapter with the same signature as engine.solver._solve_stage, for
     reuse of the host-side escalation driver."""

@@ -44,8 +44,9 @@ def test_slab_matches_xla(small_grid):
     meta_np = (np.asarray(grid.ptype) | (np.asarray(grid.mark).astype(np.int32) << 4))
     for b in range(B):
         n = int(ref.n_in[b])
-        np.testing.assert_array_equal(np.asarray(got.d2[b, :n]),
-                                      np.asarray(ref.d2[b, :n]))
+        # 1-ulp FMA/fusion differences between the two lowerings are allowed
+        np.testing.assert_allclose(np.asarray(got.d2[b, :n]),
+                                   np.asarray(ref.d2[b, :n]), rtol=1e-6)
         gi = np.asarray(got.channels[3][b, :n])
         ri = np.asarray(ref.idx[b, :n])
         np.testing.assert_array_equal(np.sort(gi), np.sort(ri))

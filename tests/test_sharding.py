@@ -74,3 +74,52 @@ def test_sharded_grid_partition_covers_all_particles(data):
     assert np.unique(orig[real]).size == real.sum()
     np.testing.assert_allclose(np.asarray(sgrid.mass).sum(),
                                d["mass"].sum(), rtol=1e-5)
+
+
+def test_sharded_derived_matches_single(data):
+    """Sharded kdVcirc/profiles (all_gather merge) == single-device."""
+    import jax.numpy as jnp
+
+    from so_tpu.engine.derived import _derived_stage
+    from so_tpu.io.tipsy import DARK
+    from so_tpu.parallel import build_sharded_grid, make_mesh
+    from so_tpu.parallel.mesh import derived_stage_sharded
+
+    d, centers, rgtp = data
+    thr = 178.0
+    grid = build_grid(d["pos"], d["mass"], vel=d["vel"], m=3)
+    solved = solve_rvir(grid, centers, rgtp, thr)
+    ok = solved.code == 0
+    assert ok.sum() >= 2
+    B = 8  # pad to the halo-axis multiple
+    c_pad = np.zeros((B, 3), np.float32)
+    r_pad = np.full(B, 1e-30, np.float32)
+    m_pad = np.zeros(B, np.float32)
+    nsel = int(ok.sum())
+    c_pad[:nsel] = centers[ok]
+    r_pad[:nsel] = solved.rvir[ok]
+    m_pad[:nsel] = solved.mvir[ok]
+
+    want = _derived_stage(grid, 1, 8192, 7, 8, (DARK,), jnp.asarray(c_pad),
+                          jnp.asarray(r_pad), jnp.asarray(m_pad),
+                          jnp.float32(1.0))
+    assert not np.asarray(want["overflow"][:nsel]).any()
+
+    mesh = make_mesh(2, 4)
+    sgrid = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
+                               mesh=mesh)
+    got = derived_stage_sharded(mesh, sgrid, 1, 2048, 7, 8, (DARK,),
+                                jnp.asarray(c_pad), jnp.asarray(r_pad),
+                                jnp.asarray(m_pad), jnp.float32(1.0))
+    assert not np.asarray(got["overflow"][:nsel]).any()
+    np.testing.assert_array_equal(np.asarray(got["n_in"][:nsel]),
+                                  np.asarray(want["n_in"][:nsel]))
+    np.testing.assert_allclose(np.asarray(got["vcirc"][:nsel]),
+                               np.asarray(want["vcirc"][:nsel]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["rmass"][:nsel]),
+                               np.asarray(want["rmass"][:nsel]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["vmax"][:nsel]),
+                               np.asarray(want["vmax"][:nsel]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["profiles"][DARK][:nsel]),
+                               np.asarray(want["profiles"][DARK][:nsel]),
+                               rtol=1e-5)

@@ -215,9 +215,17 @@ def main(argv=None) -> int:
     if b_lambda:
         f_lambda = 1.0 - f_omega
 
+    def checked(fn, *a, name=None):
+        """File-error contract of kdCheckFile (kd2.c:24-30): message + exit 1."""
+        try:
+            return fn(*a)
+        except (FileNotFoundError, IsADirectoryError, PermissionError):
+            sys.stderr.write(f"ERROR opening file {name or a[0]}\n")
+            raise SystemExit(1)
+
     # snapshot from stdin (so.c:457) or --tipsy
     src = tipsy_file if tipsy_file is not None else sys.stdin.buffer
-    particles = read_tipsy(src, b_standard)
+    particles = checked(read_tipsy, src, b_standard, name=tipsy_file or "stdin")
     h = particles.header
     # the reference stores the header time in a float (kd->fTime, kd2.h:119);
     # the redshift default and the .sogtp header inherit that rounding
@@ -227,7 +235,7 @@ def main(argv=None) -> int:
 
     if b_mark:
         assert mark_file is not None
-        mask, nmark = read_mark(mark_file, particles.n)
+        mask, nmark = checked(read_mark, mark_file, particles.n)
         particles.mark = mask
         sys.stderr.write(f"{nmark} mark particles read from {mark_file}\n")
 
@@ -240,11 +248,12 @@ def main(argv=None) -> int:
         f_threshold *= f_omega            # so.c:479-481
 
     run_time = _time.time()
-    catalog = read_gtp_list(gtp_file, list_file, f_min_mass, b_standard)
+    catalog = checked(read_gtp_list, gtp_file, list_file, f_min_mass,
+                      b_standard)
     sys.stderr.write(f"Read {catalog.n} groups to process.\n")
 
     if stat_file is not None:
-        nrep = read_stat(catalog, stat_file)
+        nrep = checked(read_stat, catalog, stat_file, name=stat_file)
         sys.stderr.write(f"Replaced {nrep} group centers.\n")
         if nrep != catalog.n:
             sys.stderr.write("ERROR in reading .stat file!\n")

@@ -30,6 +30,7 @@ import numpy as np
 from ..io.tipsy import DARK, GAS, STAR, MARK
 from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
+from ..ops.seqsum import seq_cumsum
 
 NVCIRC = 8          # kd2.h:10
 NMASSPROFILE = 16   # kd2.h:12
@@ -51,7 +52,8 @@ def derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir, mvir,
     B, K = d2_s.shape
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     valid = slot < n_in[:, None]
-    cum = jnp.cumsum(mass_s, axis=1)
+    # C-order float32 accumulation (kd2.c:521, 543) — see ops/seqsum.py
+    cum = seq_cumsum(mass_s, axis=1)
     rows = jnp.arange(B)
 
     def cum_at(counts, c):
@@ -97,7 +99,7 @@ def derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir, mvir,
     profs = {}
     for sp in species:
         sel = mark_s if sp == MARK else (ptype_s == sp)
-        cumsp = jnp.cumsum(jnp.where(sel, mass_s, 0.0), axis=1)
+        cumsp = seq_cumsum(jnp.where(sel, mass_s, 0.0), axis=1)
         bins = []
         for i in range(NMASSPROFILE - 1):
             f = jnp.float32((i + 1) * (2.0 / NMASSPROFILE))

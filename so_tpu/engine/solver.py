@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.gather import ragged_ball_gather, slab_gather
+from ..ops.seqsum import seq_cumsum
 from ..ops.grid import CellGrid
 
 FOUR_THIRDS_PI = np.float32(4.0 / 3.0 * np.pi)  # rhoEnclosed's 1.33333333*M_PI (kd2.c:592)
@@ -98,7 +99,8 @@ def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int):
     ``vel_s`` may be None (vcm is then computed later, in the member pass)."""
     B, K = d2_s.shape
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-    cum = jnp.cumsum(mass_s, axis=1)
+    # C-order float32 accumulation (kd2.c:807) — see ops/seqsum.py
+    cum = seq_cumsum(mass_s, axis=1)
 
     # rho(i) = cum(i) / ((4/3) pi d2^(3/2)) — rhoEnclosed (kd2.c:588-593)
     r3 = d2_s * jnp.sqrt(d2_s)

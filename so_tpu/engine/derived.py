@@ -172,8 +172,9 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
     # capacity estimate: interior count scales ~8x from Rvir to 2 Rvir;
     # slab footprints add CHUNK-aligned padding per merged run
     pad0 = 8192 if getattr(grid, "soa8t", None) is not None else 256
-    need_cap = 2 ** np.ceil(np.log2(np.maximum(
-        j_interior.astype(np.int64) * 12 + pad0, 256))).astype(np.int64)
+    # power-of-4 tiers (see members.py): fewer kernel-compile variants
+    need_cap = 4 ** np.ceil(np.log2(np.maximum(
+        j_interior.astype(np.int64) * 12 + pad0, 256)) / 2).astype(np.int64)
     guard = 0
     while todo.size:
         guard += 1

@@ -78,8 +78,10 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     # up front so the first capacity tier usually lands (each escalation
     # tier is another multi-minute remote kernel compile)
     pad0 = 8192 if getattr(grid, "soa8t", None) is not None else 512
-    need_cap = np.maximum(2 ** np.ceil(np.log2(np.maximum(j * 2 + pad0, 512))
-                                       ).astype(np.int64), 512)
+    # power-of-4 tiers: every (K, level, S) combination is its own (slow,
+    # remote) kernel compile, so fewer tiers beats tighter capacities
+    need_cap = np.maximum(4 ** np.ceil(np.log2(np.maximum(j * 2 + pad0, 512))
+                                       / 2).astype(np.int64), 512)
     todo = np.arange(G)
     guard = 0
     while todo.size:

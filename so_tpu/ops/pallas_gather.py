@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 256          # slab DMA chunk (rows); also the tail pad of the SoA
+HPP = 4              # halos per grid program (amortizes per-step overhead)
 
 CH_D2, CH_MASS, CH_MVX, CH_MVY, CH_MVZ, CH_META, CH_ILO, CH_IHI = range(8)
 
@@ -88,62 +89,69 @@ def chunk_descriptors(st, cnt, q, K: int):
 
 def _gather_kernel(a0_ref, lo_ref, hi_ref, center_ref, soa_hbm,
                    out_ref, scratch, sem):
-    """One program = one halo; double-buffered chunk stream."""
+    """One program = HPP halos; double-buffered chunk stream per halo."""
     Kp = out_ref.shape[2]
-    cx, cy, cz = center_ref[0, 0, 0], center_ref[0, 0, 1], center_ref[0, 0, 2]
-    r2 = center_ref[0, 0, 3]
-    px, py, pz = (center_ref[0, 0, 4], center_ref[0, 0, 5],
-                  center_ref[0, 0, 6])
-    n = center_ref[0, 0, 7].astype(jnp.int32)
 
-    out_ref[0, :, :] = jnp.concatenate(
-        [jnp.full((1, Kp), jnp.inf, jnp.float32),
-         jnp.zeros((7, Kp), jnp.float32)], axis=0)
+    for h in range(HPP):
+        cx, cy, cz = (center_ref[0, h, 0], center_ref[0, h, 1],
+                      center_ref[0, h, 2])
+        r2 = center_ref[0, h, 3]
+        px, py, pz = (center_ref[0, h, 4], center_ref[0, h, 5],
+                      center_ref[0, h, 6])
+        n = center_ref[0, h, 7].astype(jnp.int32)
 
-    def dma(slot, t):
-        src = pl.multiple_of(a0_ref[0, 0, t] + t * CHUNK, CHUNK)
-        return pltpu.make_async_copy(
-            soa_hbm.at[:, pl.ds(src, CHUNK)], scratch.at[slot], sem.at[slot])
+        out_ref[h, :, :] = jnp.concatenate(
+            [jnp.full((1, Kp), jnp.inf, jnp.float32),
+             jnp.zeros((7, Kp), jnp.float32)], axis=0)
 
-    @pl.when(n > 0)
-    def _():
-        dma(0, 0).start()
+        def dma(slot, t, h=h):
+            src = pl.multiple_of(a0_ref[0, h, t] + t * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                soa_hbm.at[:, pl.ds(src, CHUNK)], scratch.at[slot],
+                sem.at[slot])
 
-        def body(t, _):
-            slot = t % 2
+        @pl.when(n > 0)
+        def _(h=h, n=n, cx=cx, cy=cy, cz=cz, r2=r2, px=px, py=py, pz=pz,
+              dma=dma):
+            dma(0, 0).start()
 
-            @pl.when(t + 1 < n)
-            def _():
-                dma((t + 1) % 2, t + 1).start()
+            def body(t, _):
+                slot = t % 2
 
-            dma(slot, t).wait()
-            buf = scratch[slot]
-            src = a0_ref[0, 0, t] + t * CHUNK
-            dx = cx - buf[0:1, :]
-            dy = cy - buf[1:2, :]
-            dz = cz - buf[2:3, :]
-            dx = dx - px * jnp.round(dx / px)
-            dy = dy - py * jnp.round(dy / py)
-            dz = dz - pz * jnp.round(dz / pz)
-            d2 = dx * dx + dy * dy + dz * dz          # (1, CHUNK)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            row = src + lane                          # global source rows
-            in_cell = (row >= lo_ref[0, 0, t]) & (row < hi_ref[0, 0, t])
-            in_ball = in_cell & (d2 <= r2)
-            ilo = jnp.where(in_ball, (row & 0xFFF).astype(jnp.float32), 0.0)
-            ihi = jnp.where(in_ball, (row >> 12).astype(jnp.float32), 0.0)
-            payload = jnp.where(in_ball, buf[3:8, :], 0.0)     # (5, CHUNK)
-            vals = jnp.concatenate([
-                jnp.where(in_ball, d2, jnp.inf), payload, ilo, ihi], axis=0)
-            pad_rows = jnp.concatenate(
-                [jnp.full((1, CHUNK), jnp.inf, jnp.float32),
-                 jnp.zeros((7, CHUNK), jnp.float32)], axis=0)
-            dst = pl.multiple_of(t * CHUNK, CHUNK)
-            out_ref[0, :, pl.ds(dst, CHUNK)] = jnp.where(in_cell, vals,
-                                                         pad_rows)
-            return 0
+                @pl.when(t + 1 < n)
+                def _():
+                    dma((t + 1) % 2, t + 1).start()
 
-        jax.lax.fori_loop(0, n, body, 0, unroll=False)
+                dma(slot, t).wait()
+                buf = scratch[slot]
+                src = a0_ref[0, h, t] + t * CHUNK
+                dx = cx - buf[0:1, :]
+                dy = cy - buf[1:2, :]
+                dz = cz - buf[2:3, :]
+                dx = dx - px * jnp.round(dx / px)
+                dy = dy - py * jnp.round(dy / py)
+                dz = dz - pz * jnp.round(dz / pz)
+                d2 = dx * dx + dy * dy + dz * dz          # (1, CHUNK)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                row = src + lane                          # global source rows
+                in_cell = (row >= lo_ref[0, h, t]) & (row < hi_ref[0, h, t])
+                in_ball = in_cell & (d2 <= r2)
+                ilo = jnp.where(in_ball, (row & 0xFFF).astype(jnp.float32),
+                                0.0)
+                ihi = jnp.where(in_ball, (row >> 12).astype(jnp.float32), 0.0)
+                payload = jnp.where(in_ball, buf[3:8, :], 0.0)  # (5, CHUNK)
+                vals = jnp.concatenate([
+                    jnp.where(in_ball, d2, jnp.inf), payload, ilo, ihi],
+                    axis=0)
+                pad_rows = jnp.concatenate(
+                    [jnp.full((1, CHUNK), jnp.inf, jnp.float32),
+                     jnp.zeros((7, CHUNK), jnp.float32)], axis=0)
+                dst = pl.multiple_of(t * CHUNK, CHUNK)
+                out_ref[h, :, pl.ds(dst, CHUNK)] = jnp.where(in_cell, vals,
+                                                             pad_rows)
+                return 0
+
+            jax.lax.fori_loop(0, n, body, 0, unroll=False)
 
 
 @partial(jax.jit, static_argnames=("K",))
@@ -157,26 +165,36 @@ def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int):
         centers.astype(jnp.float32), r2[:, None].astype(jnp.float32),
         jnp.broadcast_to(period[None, :].astype(jnp.float32), (B, 3)),
         n_total[:, None].astype(jnp.float32)], axis=1)    # (B, 8)
+    # pad the batch to a multiple of HPP (pad halos have n_chunks = 0)
+    Bp = -(-B // HPP) * HPP
+    if Bp != B:
+        padn = Bp - B
+        a0 = jnp.concatenate([a0, jnp.zeros((padn, NC), a0.dtype)])
+        lo = jnp.concatenate([lo, jnp.zeros((padn, NC), lo.dtype)])
+        hi = jnp.concatenate([hi, jnp.zeros((padn, NC), hi.dtype)])
+        cp = jnp.concatenate([cp, jnp.ones((padn, 8), cp.dtype)
+                              .at[:, 7].set(0.0)])
     out = pl.pallas_call(
         _gather_kernel,
         interpret=jax.default_backend() == "cpu",   # CI runs on CPU
-        grid=(B,),
+        grid=(Bp // HPP,),
         in_specs=[
-            pl.BlockSpec((1, 1, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HPP, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HPP, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HPP, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HPP, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),          # SoA stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, 8, Kp), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((HPP, 8, Kp), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 8, Kp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, 8, Kp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 8, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(a0[:, None, :], lo[:, None, :], hi[:, None, :], cp[:, None, :], soa8t)
-    return out[:, :, :K]
+    )(a0.reshape(Bp // HPP, HPP, NC), lo.reshape(Bp // HPP, HPP, NC),
+      hi.reshape(Bp // HPP, HPP, NC), cp.reshape(Bp // HPP, HPP, 8), soa8t)
+    return out[:B, :, :K]
 
 
 def decode_idx(ilo, ihi):

@@ -186,29 +186,30 @@ def slab_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
     channels is a static tuple drawn from {"mass", "mv", "meta", "idx"};
     "mv" expands to three m*v components, "idx" to the exact source row.
     """
-    from .pallas_gather import CH_D2, CH_MASS, CH_META, CH_MVX, CH_ILO, \
-        CH_IHI, CHUNK, decode_idx, pallas_slab_gather
+    from .pallas_gather import CHUNK, decode_idx, pallas_slab_gather
+
+    kernel_chans = []
+    for ch in channels:
+        if ch == "mass":
+            kernel_chans.append("mass")
+        elif ch == "mv":
+            kernel_chans.extend(["mvx", "mvy", "mvz"])
+        elif ch == "meta":
+            kernel_chans.append("meta")
+        elif ch == "idx":
+            kernel_chans.extend(["ilo", "ihi"])
+        else:
+            raise ValueError(ch)
 
     st, cnt, q, total = cell_ranges(grid, level, centers, radii, r2_mask, S,
                                     align=CHUNK)
     overflow = total > K
     out = pallas_slab_gather(grid.soa8t, st, cnt, q, centers, grid.period,
-                             r2_mask, K)                       # (B, 8, K)
-    d2 = out[:, CH_D2, :]
+                             r2_mask, K, chans=tuple(kernel_chans))
+    d2 = out[:, 0, :]
     n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
 
-    ops = [d2]
-    for ch in channels:
-        if ch == "mass":
-            ops.append(out[:, CH_MASS, :])
-        elif ch == "mv":
-            ops.extend([out[:, CH_MVX + i, :] for i in range(3)])
-        elif ch == "meta":
-            ops.append(out[:, CH_META, :])
-        elif ch == "idx":
-            ops.extend([out[:, CH_ILO, :], out[:, CH_IHI, :]])
-        else:
-            raise ValueError(ch)
+    ops = [d2] + [out[:, 1 + i, :] for i in range(len(kernel_chans))]
     sorted_ops = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
     d2_s = sorted_ops[0]
     rest = list(sorted_ops[1:])

@@ -87,79 +87,97 @@ def chunk_descriptors(st, cnt, q, K: int):
     return a0, lo, hi, n_total
 
 
-def _gather_kernel(a0_ref, lo_ref, hi_ref, center_ref, soa_hbm,
-                   out_ref, scratch, sem):
-    """One program = HPP halos; double-buffered chunk stream per halo."""
-    Kp = out_ref.shape[2]
+def _make_kernel(chans: tuple):
+    """Kernel emitting only the requested channels (d2 is always row 0).
 
-    for h in range(HPP):
-        cx, cy, cz = (center_ref[0, h, 0], center_ref[0, h, 1],
-                      center_ref[0, h, 2])
-        r2 = center_ref[0, h, 3]
-        px, py, pz = (center_ref[0, h, 4], center_ref[0, h, 5],
-                      center_ref[0, h, 6])
-        n = center_ref[0, h, 7].astype(jnp.int32)
+    Channel names: mass, mvx, mvy, mvz, meta (SoA rows 3..7) and ilo/ihi
+    (split source-row index). Fewer channels = proportionally less VMEM->HBM
+    output traffic per stage."""
+    soa_row = {"mass": 3, "mvx": 4, "mvy": 5, "mvz": 6, "meta": 7}
+    nch = 1 + len(chans)
 
-        out_ref[h, :, :] = jnp.concatenate(
-            [jnp.full((1, Kp), jnp.inf, jnp.float32),
-             jnp.zeros((7, Kp), jnp.float32)], axis=0)
+    def _gather_kernel(a0_ref, lo_ref, hi_ref, center_ref, soa_hbm,
+                       out_ref, scratch, sem):
+        Kp = out_ref.shape[2]
 
-        def dma(slot, t, h=h):
-            src = pl.multiple_of(a0_ref[0, h, t] + t * CHUNK, CHUNK)
-            return pltpu.make_async_copy(
-                soa_hbm.at[:, pl.ds(src, CHUNK)], scratch.at[slot],
-                sem.at[slot])
+        for h in range(HPP):
+            cx, cy, cz = (center_ref[0, h, 0], center_ref[0, h, 1],
+                          center_ref[0, h, 2])
+            r2 = center_ref[0, h, 3]
+            px, py, pz = (center_ref[0, h, 4], center_ref[0, h, 5],
+                          center_ref[0, h, 6])
+            n = center_ref[0, h, 7].astype(jnp.int32)
 
-        @pl.when(n > 0)
-        def _(h=h, n=n, cx=cx, cy=cy, cz=cz, r2=r2, px=px, py=py, pz=pz,
-              dma=dma):
-            dma(0, 0).start()
+            out_ref[h, :, :] = jnp.concatenate(
+                [jnp.full((1, Kp), jnp.inf, jnp.float32),
+                 jnp.zeros((nch - 1, Kp), jnp.float32)], axis=0)
 
-            def body(t, _):
-                slot = t % 2
+            def dma(slot, t, h=h):
+                src = pl.multiple_of(a0_ref[0, h, t] + t * CHUNK, CHUNK)
+                return pltpu.make_async_copy(
+                    soa_hbm.at[:, pl.ds(src, CHUNK)], scratch.at[slot],
+                    sem.at[slot])
 
-                @pl.when(t + 1 < n)
-                def _():
-                    dma((t + 1) % 2, t + 1).start()
+            @pl.when(n > 0)
+            def _(h=h, n=n, cx=cx, cy=cy, cz=cz, r2=r2, px=px, py=py, pz=pz,
+                  dma=dma):
+                dma(0, 0).start()
 
-                dma(slot, t).wait()
-                buf = scratch[slot]
-                src = a0_ref[0, h, t] + t * CHUNK
-                dx = cx - buf[0:1, :]
-                dy = cy - buf[1:2, :]
-                dz = cz - buf[2:3, :]
-                dx = dx - px * jnp.round(dx / px)
-                dy = dy - py * jnp.round(dy / py)
-                dz = dz - pz * jnp.round(dz / pz)
-                d2 = dx * dx + dy * dy + dz * dz          # (1, CHUNK)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-                row = src + lane                          # global source rows
-                in_cell = (row >= lo_ref[0, h, t]) & (row < hi_ref[0, h, t])
-                in_ball = in_cell & (d2 <= r2)
-                ilo = jnp.where(in_ball, (row & 0xFFF).astype(jnp.float32),
-                                0.0)
-                ihi = jnp.where(in_ball, (row >> 12).astype(jnp.float32), 0.0)
-                payload = jnp.where(in_ball, buf[3:8, :], 0.0)  # (5, CHUNK)
-                vals = jnp.concatenate([
-                    jnp.where(in_ball, d2, jnp.inf), payload, ilo, ihi],
-                    axis=0)
-                pad_rows = jnp.concatenate(
-                    [jnp.full((1, CHUNK), jnp.inf, jnp.float32),
-                     jnp.zeros((7, CHUNK), jnp.float32)], axis=0)
-                dst = pl.multiple_of(t * CHUNK, CHUNK)
-                out_ref[h, :, pl.ds(dst, CHUNK)] = jnp.where(in_cell, vals,
-                                                             pad_rows)
-                return 0
+                def body(t, _):
+                    slot = t % 2
 
-            jax.lax.fori_loop(0, n, body, 0, unroll=False)
+                    @pl.when(t + 1 < n)
+                    def _():
+                        dma((t + 1) % 2, t + 1).start()
+
+                    dma(slot, t).wait()
+                    buf = scratch[slot]
+                    src = a0_ref[0, h, t] + t * CHUNK
+                    dx = cx - buf[0:1, :]
+                    dy = cy - buf[1:2, :]
+                    dz = cz - buf[2:3, :]
+                    dx = dx - px * jnp.round(dx / px)
+                    dy = dy - py * jnp.round(dy / py)
+                    dz = dz - pz * jnp.round(dz / pz)
+                    d2 = dx * dx + dy * dy + dz * dz          # (1, CHUNK)
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                    row = src + lane                          # source rows
+                    in_cell = (row >= lo_ref[0, h, t]) & (row < hi_ref[0, h, t])
+                    in_ball = in_cell & (d2 <= r2)
+                    parts = [jnp.where(in_ball, d2, jnp.inf)]
+                    for ch in chans:
+                        if ch == "ilo":
+                            v = (row & 0xFFF).astype(jnp.float32)
+                        elif ch == "ihi":
+                            v = (row >> 12).astype(jnp.float32)
+                        else:
+                            r0 = soa_row[ch]
+                            v = buf[r0:r0 + 1, :]
+                        parts.append(jnp.where(in_ball, v, 0.0))
+                    vals = jnp.concatenate(parts, axis=0)     # (nch, CHUNK)
+                    pad_rows = jnp.concatenate(
+                        [jnp.full((1, CHUNK), jnp.inf, jnp.float32),
+                         jnp.zeros((nch - 1, CHUNK), jnp.float32)], axis=0)
+                    dst = pl.multiple_of(t * CHUNK, CHUNK)
+                    out_ref[h, :, pl.ds(dst, CHUNK)] = jnp.where(
+                        in_cell, vals, pad_rows)
+                    return 0
+
+                jax.lax.fori_loop(0, n, body, 0, unroll=False)
+
+    return _gather_kernel
 
 
-@partial(jax.jit, static_argnames=("K",))
-def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int):
-    """(B,C) merged slab runs -> (B, 8, K) slotted channels (module doc)."""
+@partial(jax.jit, static_argnames=("K", "chans"))
+def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int,
+                       chans: tuple = ("mass", "mvx", "mvy", "mvz", "meta",
+                                       "ilo", "ihi")):
+    """(B,C) merged slab runs -> (B, 1+len(chans), K) slotted channels:
+    row 0 is d2 (+inf on empty/out-of-ball slots), rows 1.. follow chans."""
     B, C = starts.shape
     NC = (K + CHUNK) // CHUNK
     Kp = NC * CHUNK
+    nch = 1 + len(chans)
     a0, lo, hi, n_total = chunk_descriptors(starts, cnts, qs, K)
     cp = jnp.concatenate([
         centers.astype(jnp.float32), r2[:, None].astype(jnp.float32),
@@ -175,7 +193,7 @@ def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int):
         cp = jnp.concatenate([cp, jnp.ones((padn, 8), cp.dtype)
                               .at[:, 7].set(0.0)])
     out = pl.pallas_call(
-        _gather_kernel,
+        _make_kernel(chans),
         interpret=jax.default_backend() == "cpu",   # CI runs on CPU
         grid=(Bp // HPP,),
         in_specs=[
@@ -185,9 +203,9 @@ def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int):
             pl.BlockSpec((1, HPP, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),          # SoA stays in HBM
         ],
-        out_specs=pl.BlockSpec((HPP, 8, Kp), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((HPP, nch, Kp), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, 8, Kp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, nch, Kp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 8, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

@@ -23,16 +23,18 @@ from so_tpu.parallel import (build_sharded_grid, make_mesh,  # noqa: E402
 def data():
     rng = np.random.default_rng(17)
     clumps = [
-        dict(center=(0.1, 0.0, -0.1), n=2000, rmax=0.06, mass_total=0.2),
-        dict(center=(-0.25, 0.3, 0.2), n=1000, rmax=0.04, mass_total=0.08),
-        dict(center=(0.45, 0.45, 0.45), n=900, rmax=0.05, mass_total=0.06),
+        dict(center=(0.1, 0.0, -0.1), n=1400, rmax=0.06, mass_total=0.2),
+        dict(center=(-0.25, 0.3, 0.2), n=800, rmax=0.04, mass_total=0.08),
+        dict(center=(0.45, 0.45, 0.45), n=700, rmax=0.05, mass_total=0.06),
     ]
-    d = make_clumpy_box(rng, n_background=6000, clumps=clumps)
+    d = make_clumpy_box(rng, n_background=3500, clumps=clumps)
     centers = np.concatenate([
         np.array([[0.1, 0.0, -0.1], [-0.25, 0.3, 0.2], [0.45, 0.45, 0.45]],
                  np.float32),
         rng.uniform(-0.5, 0.5, (5, 3)).astype(np.float32)])
-    rgtp = rng.uniform(0.01, 0.05, centers.shape[0]).astype(np.float32)
+    # radii sized so most halos resolve within 1-2 ladder tiers (CI compile
+    # time on the CPU backend scales with the tier count)
+    rgtp = rng.uniform(0.03, 0.06, centers.shape[0]).astype(np.float32)
     return d, centers, rgtp
 
 

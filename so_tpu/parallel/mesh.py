@@ -61,6 +61,7 @@ class ShardedGrid:
     mark: jnp.ndarray         # (nsh, Nl)
     orig_idx: jnp.ndarray     # (nsh, Nl) — local row -> global original index
     starts: tuple             # per level: (nsh, size_g)
+    soa8t: jnp.ndarray | None = None  # (nsh, 8, Nl+CHUNK) Pallas payload
 
     @property
     def nshards(self) -> int:
@@ -72,8 +73,8 @@ class ShardedGrid:
 
     def tree_flatten(self):
         return ((self.lo, self.period, self.pos, self.mass, self.vel,
-                 self.phi, self.ptype, self.mark, self.orig_idx, self.starts),
-                self.m)
+                 self.phi, self.ptype, self.mark, self.orig_idx, self.starts,
+                 self.soa8t), self.m)
 
     @classmethod
     def tree_unflatten(cls, m, children):
@@ -86,12 +87,14 @@ class ShardedGrid:
         return CellGrid(self.m, self.lo, self.period, sq(self.pos),
                         sq(self.mass), sq(self.vel), sq(self.phi),
                         sq(self.ptype), sq(self.mark), sq(self.orig_idx),
-                        tuple(sq(s) for s in self.starts))
+                        tuple(sq(s) for s in self.starts),
+                        None if self.soa8t is None else sq(self.soa8t))
 
 
 def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
                        period=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0),
-                       m: int | None = None, mesh: Mesh | None = None) -> ShardedGrid:
+                       m: int | None = None, mesh: Mesh | None = None,
+                       pallas: bool | None = None) -> ShardedGrid:
     """Split particles into equal shards and build one grid per shard.
 
     The build is vmapped over shards; with a mesh, arrays are placed with
@@ -133,8 +136,21 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     # perm is shard-local; translate to global original indices
     orig = jnp.take_along_axis(jnp.asarray(gidx), perm_s, axis=1)
 
+    if pallas is None:
+        import os
+        env = os.environ.get("SO_TPU_PALLAS", "auto")
+        pallas = (env == "1" if env in ("0", "1")
+                  else jax.default_backend() not in ("cpu",))
+        if env == "0":
+            pallas = False
+    soa = None
+    if pallas:
+        from ..ops.pallas_gather import pack_soa8t
+        soa = jax.jit(jax.vmap(pack_soa8t))(pos_s, mass_s, vel_s, ptype_s,
+                                            mark_s)
+
     sg = ShardedGrid(m, jnp.asarray(lo), jnp.asarray(period_a), pos_s, mass_s,
-                     vel_s, phi_s, ptype_s, mark_s, orig, tuple(starts_s))
+                     vel_s, phi_s, ptype_s, mark_s, orig, tuple(starts_s), soa)
     if mesh is not None:
         def place(a):
             return jax.device_put(a, NamedSharding(mesh, P("part")))
@@ -142,8 +158,44 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
                          jax.device_put(sg.period, NamedSharding(mesh, P())),
                          place(sg.pos), place(sg.mass), place(sg.vel),
                          place(sg.phi), place(sg.ptype), place(sg.mark),
-                         place(sg.orig_idx), tuple(place(s) for s in sg.starts))
+                         place(sg.orig_idx), tuple(place(s) for s in sg.starts),
+                         None if soa is None else place(soa))
     return sg
+
+
+
+def _local_hits(grid: CellGrid, level: int, K: int, S: int, centers, radii,
+                channels: tuple):
+    """Per-shard slotted hits (unsorted): d2 + requested channel arrays,
+    n_in, overflow. Uses the Pallas slab kernel when the payload is present
+    (channels from {"mass", "meta"}; meta packs species|mark<<4)."""
+    r2 = radii * radii
+    if grid.soa8t is not None:
+        from ..ops.gather import cell_ranges
+        from ..ops.pallas_gather import CHUNK, pallas_slab_gather
+
+        st, cnt, q, total = cell_ranges(grid, level, centers, radii, r2, S,
+                                        align=CHUNK)
+        out = pallas_slab_gather(grid.soa8t, st, cnt, q, centers,
+                                 grid.period, r2, K, chans=tuple(channels))
+        d2 = out[:, 0]
+        n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
+        return (d2, *[out[:, 1 + i] for i in range(len(channels))],
+                n_in, total > K)
+    g = ragged_ball_gather(grid, level, centers, radii, r2, K, S, sort=False)
+    ok = jnp.isfinite(g.d2)
+    outs = [g.d2]
+    for ch in channels:
+        if ch == "mass":
+            outs.append(jnp.where(ok, grid.mass[g.idx], 0.0))
+        elif ch == "meta":
+            meta = (grid.ptype[g.idx]
+                    | (grid.mark[g.idx].astype(jnp.int32) << 4)
+                    ).astype(jnp.float32)
+            outs.append(jnp.where(ok, meta, 0.0))
+        else:
+            raise ValueError(ch)
+    return (*outs, g.n_in, g.overflow)
 
 
 @partial(jax.jit, static_argnames=("mesh", "level", "K", "S", "n_members"))
@@ -158,16 +210,14 @@ def solve_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
     """
     def body(sg: ShardedGrid, centers, radii, thr):
         grid = sg.local_cellgrid()
-        g = ragged_ball_gather(grid, level, centers, radii, radii * radii,
-                               K, S, sort=False)
-        slot_valid = jnp.isfinite(g.d2)
-        mass_l = jnp.where(slot_valid, grid.mass[g.idx], 0.0)
+        d2_l, mass_l, n_in_l, ovf_l = _local_hits(grid, level, K, S, centers,
+                                                  radii, ("mass",))
 
         # merge over the particle axis: ICI all_gather + one sort
-        d2_all = jax.lax.all_gather(g.d2, "part", axis=1, tiled=True)
+        d2_all = jax.lax.all_gather(d2_l, "part", axis=1, tiled=True)
         m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
-        n_in = jax.lax.psum(g.n_in, "part")
-        overflow = jax.lax.psum(g.overflow.astype(jnp.int32), "part") > 0
+        n_in = jax.lax.psum(n_in_l, "part")
+        overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
 
         d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1, is_stable=True)
         out = scan_sorted(d2_s, m_s, None, n_in, thr, n_members)
@@ -176,7 +226,8 @@ def solve_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
 
     specs_grid = ShardedGrid(
         sgrid.m, P(), P(), *(P("part"),) * 7,
-        tuple(P("part") for _ in sgrid.starts))
+        tuple(P("part") for _ in sgrid.starts),
+        None if sgrid.soa8t is None else P("part"))
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(specs_grid, P("halo"), P("halo"), P()),
@@ -201,23 +252,19 @@ def derived_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
     def body(sg: ShardedGrid, centers, rvir, mvir, grav):
         grid = sg.local_cellgrid()
         fball = jnp.float32(2.0) * rvir
-        g = ragged_ball_gather(grid, level, centers, fball, fball * fball,
-                               K, S, sort=False)
-        ok = jnp.isfinite(g.d2)
-        mass_l = jnp.where(ok, grid.mass[g.idx], 0.0)
-        ptype_l = jnp.where(ok, grid.ptype[g.idx], -1).astype(jnp.float32)
-        mark_l = jnp.where(ok & grid.mark[g.idx], 1.0, 0.0)
+        d2_l, mass_l, meta_l, n_in_l, ovf_l = _local_hits(
+            grid, level, K, S, centers, fball, ("mass", "meta"))
 
-        d2_all = jax.lax.all_gather(g.d2, "part", axis=1, tiled=True)
+        d2_all = jax.lax.all_gather(d2_l, "part", axis=1, tiled=True)
         m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
-        t_all = jax.lax.all_gather(ptype_l, "part", axis=1, tiled=True)
-        k_all = jax.lax.all_gather(mark_l, "part", axis=1, tiled=True)
-        n_in = jax.lax.psum(g.n_in, "part")
-        overflow = jax.lax.psum(g.overflow.astype(jnp.int32), "part") > 0
+        t_all = jax.lax.all_gather(meta_l, "part", axis=1, tiled=True)
+        n_in = jax.lax.psum(n_in_l, "part")
+        overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
 
-        d2_s, m_s, t_s, k_s = jax.lax.sort((d2_all, m_all, t_all, k_all),
-                                           num_keys=1, is_stable=True)
-        out = derived_from_sorted(d2_s, m_s, t_s.astype(jnp.int32), k_s > 0,
+        d2_s, m_s, t_s = jax.lax.sort((d2_all, m_all, t_all),
+                                      num_keys=1, is_stable=True)
+        meta = t_s.astype(jnp.int32)
+        out = derived_from_sorted(d2_s, m_s, meta & 0xF, (meta >> 4) > 0,
                                   n_in, rvir, mvir, fball, n_members,
                                   species, grav)
         out.update(overflow=overflow)
@@ -225,7 +272,8 @@ def derived_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
 
     specs_grid = ShardedGrid(
         sgrid.m, P(), P(), *(P("part"),) * 7,
-        tuple(P("part") for _ in sgrid.starts))
+        tuple(P("part") for _ in sgrid.starts),
+        None if sgrid.soa8t is None else P("part"))
     out_keys = ["vcirc", "rmass", "rmax", "vmax", "n_in", "overflow"]
     out_specs = {k: P("halo") for k in out_keys}
     out_specs["profiles"] = {sp: P("halo") for sp in species}

@@ -125,3 +125,22 @@ def test_sharded_derived_matches_single(data):
     np.testing.assert_allclose(np.asarray(got["profiles"][DARK][:nsel]),
                                np.asarray(want["profiles"][DARK][:nsel]),
                                rtol=1e-5)
+
+
+def test_sharded_solve_pallas_payload(data):
+    """The Pallas slab kernel under shard_map (interpret mode on CPU) must
+    agree with the XLA local-gather sharded path."""
+    d, centers, rgtp = data
+    thr = 178.0
+    mesh = make_mesh(2, 4)
+    sg_x = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
+                              mesh=mesh, pallas=False)
+    sg_p = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
+                              mesh=mesh, pallas=True)
+    assert sg_p.soa8t is not None
+    a = solve_rvir_sharded(mesh, sg_x, centers, rgtp, thr)
+    b = solve_rvir_sharded(mesh, sg_p, centers, rgtp, thr)
+    np.testing.assert_array_equal(a.code, b.code)
+    np.testing.assert_array_equal(a.j, b.j)
+    np.testing.assert_allclose(a.mvir, b.mvir, rtol=1e-6)
+    np.testing.assert_allclose(a.rvir, b.rvir, rtol=1e-6)

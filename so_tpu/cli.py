@@ -38,7 +38,8 @@ so_tpu -i <SKID .gtp file> [-o <outfilebase>] [([-dark] [-gas] [-star]) || [-all
       [-p <xyzPeriod>]  [-c <xyzCenter>]
       [-cx <xCenter>]  [-cy <yCenter>]  [-cz <zCenter>]
       [-u <fMassUnit> <fMpcUnit>]
-      [--tipsy <snapshot>] [--verbose] [--profile <trace-dir>] [--deltas d1,d2,...]
+      [--tipsy <snapshot>] [--verbose] [--profile <trace-dir>]
+      [--deltas d1,d2,...] [--checkpoint <state.npz>]
 
 Spherical-overdensity halo characterization (TPU-native engine). For every
 group center in the input .gtp catalog, finds the smallest radius R inside
@@ -115,6 +116,7 @@ def main(argv=None) -> int:
     tipsy_file = None
     verbose = False
     profile_dir = None
+    checkpoint = None
     deltas = None
 
     def need(i):
@@ -200,6 +202,10 @@ def main(argv=None) -> int:
             verbose = True; i += 1
         elif a == "--profile":
             i += 1; profile_dir = need(i); i += 1
+        elif a == "--checkpoint":
+            # save/resume the device solve state (.npz); a rerun with the
+            # same file skips straight to the host-side phases
+            i += 1; checkpoint = need(i); i += 1
         elif a == "--deltas":
             # multi-threshold extension: comma-separated overdensities, one
             # full output set per threshold (<base>.d<delta>.*), all solved
@@ -298,7 +304,7 @@ def main(argv=None) -> int:
                       n_members=n_members,
                       period=tuple(f_period), center=tuple(f_center),
                       b_pot=b_pot, species=species, grav=grav, verbose=verbose,
-                      profile_dir=profile_dir)
+                      profile_dir=profile_dir, checkpoint=checkpoint)
 
     if deltas is not None:
         from .engine.pipeline import run_so_multi

@@ -16,6 +16,7 @@ sequential, and it runs vectorized per halo on the host.
 
 from __future__ import annotations
 
+import os
 import sys
 import time as _time
 from dataclasses import dataclass, field
@@ -47,6 +48,7 @@ class SOParams:
     grid_m: int | None = None
     verbose: bool = False
     profile_dir: str | None = None     # jax.profiler trace output
+    checkpoint: str | None = None      # solve-state save/resume (.npz)
 
 
 @dataclass
@@ -59,6 +61,7 @@ class SORun:
     stats: RunStats
     order: np.ndarray                  # processing order (ascending GTP mass)
     solve_seconds: float = 0.0
+    members: list | None = None        # per-halo sorted interior lists
 
     # catalog-facing columns (post-conflict)
     @property
@@ -93,13 +96,29 @@ def run_so(particles: ParticleSet, catalog: GroupCatalog, params: SOParams,
                 catalog.pos = centers
 
         t0 = _time.perf_counter()
-        with timer.phase("R_Delta solve"):
-            solve = solve_rvir(grid, centers, rgtp, params.threshold,
-                               n_members=params.n_members)
+        ck_members = None
+        ck = params.checkpoint
+        if ck is not None and os.path.exists(ck):
+            from ..checkpoint import load_solve
+
+            with timer.phase("checkpoint resume"):
+                solve, ck_members, ck_centers = load_solve(ck)
+                centers = np.asarray(ck_centers, np.float32)
+                catalog.pos = centers
+        else:
+            with timer.phase("R_Delta solve"):
+                solve = solve_rvir(grid, centers, rgtp, params.threshold,
+                                   n_members=params.n_members)
 
         run = _post_solve(grid, particles, catalog, centers, solve, params,
-                          timer)
+                          timer, members=ck_members)
         run.solve_seconds = _time.perf_counter() - t0
+
+        if ck is not None and ck_members is None:
+            from ..checkpoint import save_solve
+
+            with timer.phase("checkpoint save"):
+                save_solve(ck, run.solve, run.members, centers)
 
     if params.verbose:
         timer.report(items={"R_Delta solve": catalog.n,
@@ -152,16 +171,17 @@ def run_so_multi(particles: ParticleSet, catalog: GroupCatalog,
 
 
 def _post_solve(grid, particles, catalog, centers, solve, params,
-                timer) -> SORun:
+                timer, members=None) -> SORun:
     ok = solve.code == 0
-    with timer.phase("member extraction"):
-        members_ok, vcm_ok = extract_members(
-            grid, centers[ok], solve.d2cut[ok], solve.j[ok],
-            solve.mvir[ok])
-        members: list = [None] * catalog.n
-        for slot, h in enumerate(np.nonzero(ok)[0]):
-            members[h] = members_ok[slot]
-        solve.vcm[ok] = vcm_ok  # _VcmParticles (kd2.c:595-609)
+    if members is None:
+        with timer.phase("member extraction"):
+            members_ok, vcm_ok = extract_members(
+                grid, centers[ok], solve.d2cut[ok], solve.j[ok],
+                solve.mvir[ok])
+            members = [None] * catalog.n
+            for slot, h in enumerate(np.nonzero(ok)[0]):
+                members[h] = members_ok[slot]
+            solve.vcm[ok] = vcm_ok  # _VcmParticles (kd2.c:595-609)
 
     with timer.phase("conflict protocol"):
         # ascending input-mass order (kdSortMass, kd2.c:843-861)
@@ -184,5 +204,7 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
                               conflicts.mvir, conflicts.groups_removed,
                               conflicts.groups_slurped)
 
-    return SORun(catalog=catalog, solve=solve, conflicts=conflicts,
-                 derived=derived, stats=stats, order=order)
+    run = SORun(catalog=catalog, solve=solve, conflicts=conflicts,
+                derived=derived, stats=stats, order=order)
+    run.members = members
+    return run

@@ -91,3 +91,16 @@ def test_unit_conversions_constants():
     # unset sentinel
     u = unit_conversions(-9.9, -9.9, 0.0)
     assert u.massunit == 1.0 and u.kpcunit == 1.0 and u.kmsecunit == 1.0
+
+
+def test_checkpoint_resume_pipeline(tmp_path):
+    """run_so with checkpoint: second run resumes and matches the first."""
+    ps, cat1 = _setup()
+    _, cat2 = _setup()
+    ck = str(tmp_path / "solve.npz")
+    r1 = run_so(ps, cat1, SOParams(threshold=178.0, checkpoint=ck))
+    assert os.path.exists(ck)
+    r2 = run_so(ps, cat2, SOParams(threshold=178.0, checkpoint=ck))
+    np.testing.assert_array_equal(r1.mvir, r2.mvir)
+    np.testing.assert_array_equal(r1.conflicts.igrp, r2.conflicts.igrp)
+    np.testing.assert_array_equal(r1.derived.vcirc, r2.derived.vcirc)

@@ -224,7 +224,7 @@ def _pad_to_bucket(n: int, buckets=(256, 1024, 4096)) -> int:
 def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                thr: float, n_members: int = 8,
                k0_cap: int = 4096, s_max: int = 11,
-               slot_budget: int = 1 << 25,
+               slot_budget: int = 1 << 26,
                progress=None, stage_fn=None) -> SolveResult:
     """Solve R_Delta for every halo (batched, staged capacity escalation).
 
@@ -288,7 +288,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             radii = ladder_radius(rgtp[sel], k_eff)
             level, S = _pick_level_span(grid, float(radii.max()), s_max)
             # chunk to bound B*K device memory
-            chunk = max(1, min(8192, int(slot_budget // K)))
+            chunk = max(1, min(16384, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_to_bucket(part.size)

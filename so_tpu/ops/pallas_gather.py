@@ -13,9 +13,10 @@ this kernel streams them with double-buffered async DMA instead:
   writes output slots [t*CHUNK, (t+1)*CHUNK); rows outside the run's
   [lo_t, hi_t) range are masked.
 
-  kernel: one program per halo; a fori_loop over its chunks with two VMEM
-  buffers — chunk t+1's DMA is in flight while chunk t computes min-image
-  d2 on the VPU, so the per-transfer latency hides behind compute.
+  kernel: HPP halos per program; a fori_loop over each halo's chunks with
+  an NBUF-deep VMEM ring — up to NBUF-1 DMAs stay in flight while chunk t
+  computes min-image d2 on the VPU, hiding the per-transfer latency (which
+  far exceeds the ~100 ns of compute per chunk).
 
 Output layout (B, 8, K) channels: [d2, mass, m*vx, m*vy, m*vz, meta,
 idx_lo, idx_hi]; out-of-ball and pad slots carry d2=+inf / zero payload.
@@ -36,6 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 256          # slab DMA chunk (rows); also the tail pad of the SoA
 HPP = 4              # halos per grid program (amortizes per-step overhead)
+NBUF = 8             # DMA ring depth: per-chunk compute (~100 ns) is far
+#                      below DMA latency (~1 us), so the pipeline must keep
+#                      several transfers in flight to stay bandwidth-bound
 
 CH_D2, CH_MASS, CH_MVX, CH_MVY, CH_MVZ, CH_META, CH_ILO, CH_IHI = range(8)
 
@@ -121,14 +125,20 @@ def _make_kernel(chans: tuple):
             @pl.when(n > 0)
             def _(h=h, n=n, cx=cx, cy=cy, cz=cz, r2=r2, px=px, py=py, pz=pz,
                   dma=dma):
-                dma(0, 0).start()
+                def prologue(t, _):
+                    @pl.when(t < n)
+                    def _():
+                        dma(t % NBUF, t).start()
+                    return 0
+
+                jax.lax.fori_loop(0, NBUF - 1, prologue, 0, unroll=True)
 
                 def body(t, _):
-                    slot = t % 2
+                    slot = t % NBUF
 
-                    @pl.when(t + 1 < n)
+                    @pl.when(t + NBUF - 1 < n)
                     def _():
-                        dma((t + 1) % 2, t + 1).start()
+                        dma((t + NBUF - 1) % NBUF, t + NBUF - 1).start()
 
                     dma(slot, t).wait()
                     buf = scratch[slot]
@@ -207,8 +217,8 @@ def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, nch, Kp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, 8, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )(a0.reshape(Bp // HPP, HPP, NC), lo.reshape(Bp // HPP, HPP, NC),
       hi.reshape(Bp // HPP, HPP, NC), cp.reshape(Bp // HPP, HPP, 8), soa8t)

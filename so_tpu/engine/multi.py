@@ -91,7 +91,7 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
     cur_k = np.ones(G, np.int32)
     cur_cap = np.full(G, k0_cap, np.int64)
     minus1_open = np.ones(G, bool)
-    DK = 4
+    DK = 8
     npart = grid.n
     guard = 0
     while not resolved.all():
@@ -99,6 +99,8 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
         if guard > 200:
             raise RuntimeError("multi-threshold solver escalation runaway")
         live = np.nonzero(~resolved.all(axis=0))[0]
+        if guard > 1 and live.size:
+            cur_cap[live] = cur_cap[live].max()
         for capacity in np.unique(cur_cap[live]):
             sel = live[cur_cap[live] == capacity]
             K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))

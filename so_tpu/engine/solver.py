@@ -268,7 +268,9 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     cur_k = np.ones(G, np.int32)          # ladder exponent (first gather: k=1)
     cur_cap = np.full(G, k0_cap, np.int64)
     minus1_open = np.ones(G, bool)        # -1 check still undecided
-    DK = 4                                # ladder exponents per escalation
+    DK = 8                                # ladder exponents per escalation
+    #                                       (few big jumps: every extra tail
+    #                                       round costs a full dispatch)
 
     npart = grid.n
     guard = 0
@@ -277,7 +279,10 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         if guard > 200:
             raise RuntimeError("solver failed to converge (escalation runaway)")
         live = np.nonzero(~resolved)[0]
-        # group live halos by capacity tier
+        # unify the capacity tier across the round: the tail population is
+        # small, so one shared dispatch beats per-tier program switches
+        if guard > 1 and live.size:
+            cur_cap[live] = cur_cap[live].max()
         caps = np.unique(cur_cap[live])
         for capacity in caps:
             sel = live[cur_cap[live] == capacity]

@@ -23,5 +23,6 @@ def seq_cumsum(x, axis: int = 1):
         acc = acc + v
         return acc, acc
 
-    _, out = jax.lax.scan(step, jnp.zeros(x.shape[1:], x.dtype), x)
+    _, out = jax.lax.scan(step, jnp.zeros(x.shape[1:], x.dtype), x,
+                          unroll=8)   # amortize per-step loop overhead
     return jnp.moveaxis(out, 0, axis)

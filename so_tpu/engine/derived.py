@@ -148,7 +148,7 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                     species: tuple = (), grav: float = 1.0,
                     s_max: int = 11, slot_budget: int = 1 << 25) -> DerivedResult:
     """Batched derived quantities for all eligible halos; zeros otherwise."""
-    from .solver import _pick_level_span, _pad_to_bucket
+    from .solver import _k_limit, _pick_level_span, _pad_to_bucket
 
     G = centers.shape[0]
     out = DerivedResult(
@@ -183,7 +183,7 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
         next_todo = []
         for capacity in np.unique(need_cap[todo]):
             sel = todo[need_cap[todo] == capacity]
-            K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
+            K = int(min(capacity, _k_limit(grid, s_max)))
             cover = (2.0 * rvir[sel]).astype(np.float32)
             level, S = _pick_level_span(grid, float(cover.max()), s_max)
             chunk = max(1, min(8192, int(slot_budget // K)))
@@ -214,7 +214,8 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                 for sp in species:
                     out.profiles[sp][idx] = np.asarray(o["profiles"][sp])[:part.size][ok]
                 bad = part[~ok]
-                need_cap[bad] = np.minimum(need_cap[bad] * 4, 2 * npart)
+                need_cap[bad] = np.minimum(need_cap[bad] * 4,
+                                            2 * _k_limit(grid, s_max))
                 next_todo.extend(bad.tolist())
         todo = np.asarray(next_todo, np.int64)
     return out

@@ -56,7 +56,7 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     boundary may gather a few extra hits, which are truncated to j exactly
     as the reference's walk stops at j (kd2.c:663-670).
     """
-    from .solver import _pick_level_span, _pad_to_bucket
+    from .solver import _k_limit, _pick_level_span, _pad_to_bucket
 
     if getattr(grid, "soa8t", None) is not None:
         s_max = min(s_max, 7)
@@ -91,7 +91,7 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
         next_todo = []
         for capacity in np.unique(need_cap[todo]):
             sel = todo[need_cap[todo] == capacity]
-            K = int(min(capacity, max(512, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
+            K = int(min(capacity, max(512, _k_limit(grid, s_max))))
             level, S = _pick_level_span(grid, float(cover[sel].max()), s_max)
             chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
@@ -121,7 +121,8 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                 ovf = np.asarray(ovf)[:part.size]
                 for i, h in enumerate(part):
                     if ovf[i]:
-                        need_cap[h] = min(need_cap[h] * 4, 2 * npart)
+                        need_cap[h] = min(need_cap[h] * 4,
+                                          2 * _k_limit(grid, s_max))
                         next_todo.append(h)
                     else:
                         lst = orig[i]

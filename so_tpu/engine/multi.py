@@ -24,8 +24,8 @@ import numpy as np
 
 from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
-from .solver import (_pad_to_bucket, _pick_level_span, ladder_radius, rvir_ladder,
-                     scan_sorted)
+from .solver import (_k_limit, _pad_to_bucket, _pick_level_span,
+                     ladder_radius, rvir_ladder, scan_sorted)
 
 
 @dataclass
@@ -103,7 +103,7 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
             cur_cap[live] = cur_cap[live].max()
         for capacity in np.unique(cur_cap[live]):
             sel = live[cur_cap[live] == capacity]
-            K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
+            K = int(min(capacity, _k_limit(grid, s_max)))
             k_eff = np.minimum(cur_k[sel], kmax[sel])
             radii = ladder_radius(rgtp[sel], k_eff)
             level, S = _pick_level_span(grid, float(radii.max()), s_max)
@@ -159,7 +159,8 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                 rest = ~halo_done
                 grow_cap = rest & ovf
                 cur_cap[part[grow_cap]] = np.minimum(
-                    cur_cap[part[grow_cap]] * 4, max(npart * 2, k0_cap))
+                    cur_cap[part[grow_cap]] * 4,
+                    max(2 * _k_limit(grid, s_max), k0_cap))
                 grow_ball = rest & ~ovf & ~at_cap_k
                 gi = part[grow_ball]
                 cur_k[gi] = np.minimum(cur_k[gi] + DK, kmax[gi])
@@ -167,6 +168,6 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                 est = (n_in[grow_ball].astype(np.int64) + 64) * vol_ratio
                 cur_cap[gi] = np.maximum(cur_cap[gi], np.minimum(
                     2 ** np.ceil(np.log2(np.maximum(est, 1))).astype(np.int64),
-                    max(npart * 2, k0_cap)))
+                    max(2 * _k_limit(grid, s_max), k0_cap)))
     return MultiSolveResult(code=code, mvir=mvir, rvir=rvir, j=jout,
                             d2cut=d2cut)

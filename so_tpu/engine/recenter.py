@@ -43,7 +43,7 @@ def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                         k0_cap: int = 4096, s_max: int = 11,
                         slot_budget: int = 1 << 25) -> np.ndarray:
     """Batched recentring for all halos; escalates capacity on overflow."""
-    from .solver import _pick_level_span, _pad_to_bucket
+    from .solver import _k_limit, _pick_level_span, _pad_to_bucket
 
     G = centers.shape[0]
     centers = np.asarray(centers, np.float32)
@@ -53,7 +53,7 @@ def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     capacity = k0_cap
     npart = grid.n
     while todo.size:
-        K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
+        K = int(min(capacity, _k_limit(grid, s_max)))
         radii = radii_all[todo]
         level, S = _pick_level_span(grid, float(radii.max()) if radii.size else 0.0, s_max)
         chunk = max(1, min(8192, int(slot_budget // K)))
@@ -73,7 +73,7 @@ def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             still.append(part[ovf])
         todo = np.concatenate(still) if still else np.zeros(0, np.int64)
         capacity *= 4
-        if capacity > max(4 * npart, k0_cap):
+        if capacity > max(8 * _k_limit(grid, s_max), k0_cap):
             if todo.size:
                 raise RuntimeError("recentring escalation runaway")
     return out

@@ -134,14 +134,24 @@ def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int):
 
 
 def pack_stage_out(out):
-    """Two fetch-friendly arrays: i32 (B,4) [n_in, jstar, found, overflow]
-    and f32 (B,3) [mvir, rvir, d2cut]. One D2H round-trip each over a
+    """One fetch-friendly i32 (B,7) array:
+    [n_in, jstar, found, overflow, mvir_bits, rvir_bits, d2cut_bits]
+    (floats bit-cast) — a single D2H round-trip per stage over a
     remote-device tunnel instead of eight."""
-    ints = jnp.stack([out["n_in"].astype(jnp.int32),
-                      out["jstar"].astype(jnp.int32),
-                      out["found"].astype(jnp.int32),
-                      out["overflow"].astype(jnp.int32)], axis=1)
-    flts = jnp.stack([out["mvir"], out["rvir"], out["d2cut"]], axis=1)
+    return jnp.stack(
+        [out["n_in"].astype(jnp.int32),
+         out["jstar"].astype(jnp.int32),
+         out["found"].astype(jnp.int32),
+         out["overflow"].astype(jnp.int32),
+         jax.lax.bitcast_convert_type(out["mvir"], jnp.int32),
+         jax.lax.bitcast_convert_type(out["rvir"], jnp.int32),
+         jax.lax.bitcast_convert_type(out["d2cut"], jnp.int32)], axis=1)
+
+
+def unpack_stage_out(packed: np.ndarray):
+    """Host-side inverse of pack_stage_out."""
+    ints = np.ascontiguousarray(packed[:, :4])
+    flts = np.ascontiguousarray(packed[:, 4:7]).view(np.float32)
     return ints, flts
 
 
@@ -182,6 +192,21 @@ class SolveResult:
     j: np.ndarray       # (G,) i32: interior particle count
     d2cut: np.ndarray   # (G,) f32: d2 of the (j-1)-th sorted particle
     vcm: np.ndarray     # (G,3) f32: mass-weighted mean velocity of interior
+
+
+def _k_limit(grid, s_max: int) -> int:
+    """Capacity ceiling that is guaranteed gather-complete.
+
+    The plain candidate total is bounded by the particle count, but the
+    slab path's CHUNK-aligned run footprints can exceed it (up to one
+    chunk of padding per candidate cell) — an overflow at a
+    pow2ceil(npart) cap would otherwise escalate forever."""
+    npart = grid.n
+    extra = 0
+    if getattr(grid, "soa8t", None) is not None:
+        from ..ops.pallas_gather import CHUNK
+        extra = (s_max ** 3) * CHUNK
+    return max(256, 1 << int(np.ceil(np.log2(max(npart + extra, 2)))))
 
 
 def _pick_level(grid: CellGrid, rmax: float, s_max: int) -> int:
@@ -286,9 +311,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         caps = np.unique(cur_cap[live])
         for capacity in caps:
             sel = live[cur_cap[live] == capacity]
-            # capacity never needs to exceed the particle count (a >=N tier
-            # is a guaranteed-complete brute-force gather)
-            K = int(min(capacity, max(256, 1 << int(np.ceil(np.log2(max(npart, 2)))))))
+            K = int(min(capacity, _k_limit(grid, s_max)))
             k_eff = np.minimum(cur_k[sel], kmax[sel])
             radii = ladder_radius(rgtp[sel], k_eff)
             level, S = _pick_level_span(grid, float(radii.max()), s_max)
@@ -306,11 +329,10 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                           f"level={level} n={part.size} "
                           f"rmax={float(r_pad.max()):.4g}",
                           file=sys.stderr, flush=True)
-                ints, flts = stage_fn(level, K, S, n_members,
-                                      jnp.asarray(c_pad), jnp.asarray(r_pad),
-                                      thr32)
-                ints = np.asarray(ints)[:part.size]
-                flts = np.asarray(flts)[:part.size]
+                packed = stage_fn(level, K, S, n_members,
+                                  jnp.asarray(c_pad), jnp.asarray(r_pad),
+                                  thr32)
+                ints, flts = unpack_stage_out(np.asarray(packed)[:part.size])
                 n_in = ints[:, 0]
                 jstar = ints[:, 1]
                 found = ints[:, 2].astype(bool)
@@ -352,7 +374,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 # same radius — mirrors smGrowList (smooth2.c:49-55)
                 grow_cap = rest & ovf
                 cur_cap[part[grow_cap]] = np.minimum(
-                    cur_cap[part[grow_cap]] * 4, max(npart * 2, k0_cap))
+                    cur_cap[part[grow_cap]] * 4,
+                    max(2 * _k_limit(grid, s_max), k0_cap))
                 # no overflow, nothing found, ladder not exhausted: grow ball
                 grow_ball = rest & ~ovf & ~at_cap_k
                 gi = part[grow_ball]
@@ -363,7 +386,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 cur_cap[gi] = np.maximum(cur_cap[gi],
                                          np.minimum(2 ** np.ceil(np.log2(
                                              np.maximum(est, 1))).astype(np.int64),
-                                             max(npart * 2, k0_cap)))
+                                             max(2 * _k_limit(grid, s_max),
+                                                 k0_cap)))
                 if progress is not None:
                     progress(resolved.sum(), G)
     return SolveResult(code=code, mvir=mvir, rvir=rvir, j=jout, d2cut=d2cut,

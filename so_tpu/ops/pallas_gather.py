@@ -99,6 +99,9 @@ def _make_kernel(chans: tuple):
     output traffic per stage."""
     soa_row = {"mass": 3, "mvx": 4, "mvy": 5, "mvz": 6, "meta": 7}
     nch = 1 + len(chans)
+    # deep DMA ring only on hardware; the interpreter executes each DMA
+    # eagerly and a 2-slot ring keeps CI time sane
+    nbuf = 2 if jax.default_backend() == "cpu" else NBUF
 
     def _gather_kernel(a0_ref, lo_ref, hi_ref, center_ref, soa_hbm,
                        out_ref, scratch, sem):
@@ -128,17 +131,17 @@ def _make_kernel(chans: tuple):
                 def prologue(t, _):
                     @pl.when(t < n)
                     def _():
-                        dma(t % NBUF, t).start()
+                        dma(t % nbuf, t).start()
                     return 0
 
-                jax.lax.fori_loop(0, NBUF - 1, prologue, 0, unroll=True)
+                jax.lax.fori_loop(0, nbuf - 1, prologue, 0, unroll=True)
 
                 def body(t, _):
-                    slot = t % NBUF
+                    slot = t % nbuf
 
-                    @pl.when(t + NBUF - 1 < n)
+                    @pl.when(t + nbuf - 1 < n)
                     def _():
-                        dma((t + NBUF - 1) % NBUF, t + NBUF - 1).start()
+                        dma((t + nbuf - 1) % nbuf, t + nbuf - 1).start()
 
                     dma(slot, t).wait()
                     buf = scratch[slot]
@@ -217,8 +220,10 @@ def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, nch, Kp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, 8, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((2 if jax.default_backend() == "cpu" else NBUF,
+                        8, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 if jax.default_backend() == "cpu"
+                                     else NBUF,)),
         ],
     )(a0.reshape(Bp // HPP, HPP, NC), lo.reshape(Bp // HPP, HPP, NC),
       hi.reshape(Bp // HPP, HPP, NC), cp.reshape(Bp // HPP, HPP, 8), soa8t)

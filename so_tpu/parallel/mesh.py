@@ -303,7 +303,7 @@ def sharded_stage_fn(mesh: Mesh, sgrid: ShardedGrid):
                                   centers, radii, thr)
         if pad:
             out = {k: v[:B] for k, v in out.items()}
-        return pack_stage_out(out)
+        return pack_stage_out(out)  # (B, 7) i32, see unpack_stage_out
 
     return stage
 
@@ -317,6 +317,7 @@ def solve_rvir_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp, thr,
         m = sgrid.m
         n = int(sgrid.nshards * sgrid.n_local)
         period = sgrid.period
+        soa8t = sgrid.soa8t   # signals the slab path to the level/K logic
 
         def ncell(self, level):
             return 1 << (sgrid.m - level)

@@ -32,7 +32,9 @@ def so_bin(tmp_path_factory):
     return build_reference(d)
 
 
-@pytest.mark.parametrize("seed", [101, 202, 303])
+@pytest.mark.parametrize("seed", [
+    101, pytest.param(202, marks=pytest.mark.slow),
+    pytest.param(303, marks=pytest.mark.slow)])
 def test_fuzz_random_boxes(so_bin, seed, tmp_path):
     rng = np.random.default_rng(seed)
     n_clumps = 4

@@ -28,12 +28,14 @@ def data():
         dict(center=(0.45, 0.45, 0.45), n=700, rmax=0.05, mass_total=0.06),
     ]
     d = make_clumpy_box(rng, n_background=3500, clumps=clumps)
-    centers = np.concatenate([
-        np.array([[0.1, 0.0, -0.1], [-0.25, 0.3, 0.2], [0.45, 0.45, 0.45]],
-                 np.float32),
-        rng.uniform(-0.5, 0.5, (5, 3)).astype(np.float32)])
-    # radii sized so most halos resolve within 1-2 ladder tiers (CI compile
-    # time on the CPU backend scales with the tier count)
+    base = np.array([[0.1, 0.0, -0.1], [-0.25, 0.3, 0.2], [0.45, 0.45, 0.45]],
+                    np.float32)
+    # extra centers near the clumps: every halo resolves within 1-2 ladder
+    # tiers (a -3 halo would climb to the brute-force capacity tier, which
+    # the CPU interpreter executes minutes-slow; -1/-2/-3 codes are covered
+    # by test_solver/test_golden)
+    extra = np.concatenate([base, base[:2]])         + rng.normal(size=(5, 3)).astype(np.float32) * 0.01
+    centers = np.concatenate([base, extra])
     rgtp = rng.uniform(0.03, 0.06, centers.shape[0]).astype(np.float32)
     return d, centers, rgtp
 
@@ -42,9 +44,10 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
-# (1,8): pure particle sharding (all_gather merge path); (2,4): 2D mesh.
-# (8,1)/(4,2) also pass but are dropped to keep CI time bounded.
-@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+# (2,4): 2D mesh (default); (1,8) pure particle sharding is marked slow
+# (same merge path, heavier compile). (8,1)/(4,2) also pass.
+@pytest.mark.parametrize("mesh_shape", [
+    pytest.param((1, 8), marks=pytest.mark.slow), (2, 4)])
 def test_sharded_solve_matches_single(data, mesh_shape):
     d, centers, rgtp = data
     thr = 178.0
@@ -127,15 +130,20 @@ def test_sharded_derived_matches_single(data):
                                rtol=1e-5)
 
 
-def test_sharded_solve_pallas_payload(data):
+def test_sharded_solve_pallas_payload():
     """The Pallas slab kernel under shard_map (interpret mode on CPU) must
-    agree with the XLA local-gather sharded path."""
-    d, centers, rgtp = data
+    agree with the XLA local-gather sharded path. Deliberately tiny: the
+    interpreter executes the kernel's chunk loop per-op."""
+    rng = np.random.default_rng(41)
+    clump = dict(center=(0.05, 0.0, 0.0), n=700, rmax=0.05, mass_total=0.3)
+    d = make_clumpy_box(rng, n_background=500, clumps=[clump])
+    centers = np.array([[0.05, 0.0, 0.0], [0.06, 0.01, 0.0]], np.float32)
+    rgtp = np.array([0.05, 0.04], np.float32)
     thr = 178.0
-    mesh = make_mesh(2, 4)
-    sg_x = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
+    mesh = make_mesh(1, 2, devices=__import__("jax").devices()[:2])
+    sg_x = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=2,
                               mesh=mesh, pallas=False)
-    sg_p = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
+    sg_p = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=2,
                               mesh=mesh, pallas=True)
     assert sg_p.soa8t is not None
     a = solve_rvir_sharded(mesh, sg_x, centers, rgtp, thr)

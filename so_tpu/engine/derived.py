@@ -148,7 +148,8 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                     species: tuple = (), grav: float = 1.0,
                     s_max: int = 11, slot_budget: int = 1 << 25) -> DerivedResult:
     """Batched derived quantities for all eligible halos; zeros otherwise."""
-    from .solver import _k_limit, _pick_level_span, _pad_to_bucket
+    from .solver import (_k_limit, _pad_b, _pick_level_span, _pad_to_bucket,
+                         _stage_grid)
 
     G = centers.shape[0]
     out = DerivedResult(
@@ -189,7 +190,7 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
             chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
-                B = _pad_to_bucket(part.size)
+                B = _pad_b(part.size, K)
                 c_pad = np.zeros((B, 3), np.float32)
                 r_pad = np.full(B, 1e-30, np.float32)
                 m_pad = np.zeros(B, np.float32)
@@ -201,7 +202,8 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                     print(f"so_tpu[derived]: stage B={B} K={K} S={S} "
                           f"level={level} n={part.size}",
                           file=sys.stderr, flush=True)
-                o = _derived_stage(grid, level, K, S, n_members, species,
+                o = _derived_stage(_stage_grid(grid, K), level, K, S,
+                                   n_members, species,
                                    jnp.asarray(c_pad), jnp.asarray(r_pad),
                                    jnp.asarray(m_pad), grav32)
                 ovf = np.asarray(o["overflow"])[:part.size]

@@ -56,7 +56,8 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     boundary may gather a few extra hits, which are truncated to j exactly
     as the reference's walk stops at j (kd2.c:663-670).
     """
-    from .solver import _k_limit, _pick_level_span, _pad_to_bucket
+    from .solver import (_k_limit, _pad_b, _pick_level_span, _pad_to_bucket,
+                         _stage_grid)
 
     if getattr(grid, "soa8t", None) is not None:
         s_max = min(s_max, 7)
@@ -96,7 +97,7 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
             chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
-                B = _pad_to_bucket(part.size)
+                B = _pad_b(part.size, K)
                 c_pad = np.zeros((B, 3), np.float32)
                 r_pad = np.zeros(B, np.float32)
                 d_pad = np.zeros(B, np.float32)
@@ -113,7 +114,7 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                           f"level={level} n={part.size}",
                           file=sys.stderr, flush=True)
                 orig, vc, n_in, ovf = _members_stage(
-                    grid, level, K, S, jnp.asarray(c_pad),
+                    _stage_grid(grid, K), level, K, S, jnp.asarray(c_pad),
                     jnp.asarray(r_pad), jnp.asarray(d_pad),
                     jnp.asarray(j_pad), jnp.asarray(m_pad))
                 orig = np.asarray(orig)[:part.size]

@@ -24,8 +24,8 @@ import numpy as np
 
 from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
-from .solver import (_k_limit, _pad_to_bucket, _pick_level_span,
-                     ladder_radius, rvir_ladder, scan_sorted)
+from .solver import (_k_limit, _pad_b, _pad_to_bucket, _pick_level_span,
+                     _stage_grid, ladder_radius, rvir_ladder, scan_sorted)
 
 
 @dataclass
@@ -110,13 +110,13 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
             chunk = max(1, min(8192, int(slot_budget // K)))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
-                B = _pad_to_bucket(part.size)
+                B = _pad_b(part.size, K)
                 c_pad = np.zeros((B, 3), np.float32)
                 r_pad = np.zeros(B, np.float32)
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = radii[lo:lo + chunk]
                 n_in, ovf, ints, flts = _multi_stage(
-                    grid, level, K, S, n_members, T,
+                    _stage_grid(grid, K), level, K, S, n_members, T,
                     jnp.asarray(c_pad), jnp.asarray(r_pad), thr_dev)
                 n_in = np.asarray(n_in)[:part.size]
                 ovf = np.asarray(ovf)[:part.size]

@@ -194,6 +194,20 @@ class SolveResult:
     vcm: np.ndarray     # (G,3) f32: mass-weighted mean velocity of interior
 
 
+# beyond this capacity the slab kernel output window would not fit in
+# VMEM (HPP x channels x (K+CHUNK) x 4B x 2 buffering levels vs ~16 MB);
+# such rare giant tiers fall back to the XLA gather path
+K_SLAB_MAX = 1 << 15
+
+
+def _stage_grid(grid, K: int):
+    """strip the Pallas payload for giant-K tiers."""
+    if K > K_SLAB_MAX and getattr(grid, 'soa8t', None) is not None:
+        import dataclasses
+        return dataclasses.replace(grid, soa8t=None)
+    return grid
+
+
 def _k_limit(grid, s_max: int) -> int:
     """Capacity ceiling that is guaranteed gather-complete.
 
@@ -246,6 +260,14 @@ def _pad_to_bucket(n: int, buckets=(256, 1024, 4096)) -> int:
     return ((n + 4095) // 4096) * 4096
 
 
+def _pad_b(n: int, K: int) -> int:
+    """Batch pad bucket; giant-K tiers keep B tiny so B*K slot buffers
+    stay within HBM."""
+    if K >= (1 << 18):
+        return max(32, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    return _pad_to_bucket(n)
+
+
 def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                thr: float, n_members: int = 8,
                k0_cap: int = 4096, s_max: int = 11,
@@ -259,7 +281,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     reuses this escalation driver unchanged.
     """
     if stage_fn is None:
-        stage_fn = lambda *a: _solve_stage(grid, *a)
+        stage_fn = lambda level, K, *a: _solve_stage(_stage_grid(grid, K),
+                                                     level, K, *a)
     G = centers.shape[0]
     period = np.asarray(grid.period, np.float32)
     centers = np.asarray(centers, np.float32)
@@ -317,9 +340,10 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             level, S = _pick_level_span(grid, float(radii.max()), s_max)
             # chunk to bound B*K device memory
             chunk = max(1, min(16384, int(slot_budget // K)))
+            chunk = max(1, min(chunk, (1 << 26) // K))
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
-                B = _pad_to_bucket(part.size)
+                B = _pad_b(part.size, K)
                 c_pad = np.zeros((B, 3), np.float32)
                 r_pad = np.zeros(B, np.float32)
                 c_pad[:part.size] = centers[part]

@@ -148,7 +148,7 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                     species: tuple = (), grav: float = 1.0,
                     s_max: int = 11, slot_budget: int = 1 << 25) -> DerivedResult:
     """Batched derived quantities for all eligible halos; zeros otherwise."""
-    from .solver import (_k_limit, _pad_b, _pick_level_span, _pad_to_bucket,
+    from .solver import (_chunk_for, _k_limit, _pad_b, _pick_level_span, _pad_to_bucket,
                          _stage_grid)
 
     G = centers.shape[0]
@@ -187,7 +187,7 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
             K = int(min(capacity, _k_limit(grid, s_max)))
             cover = (2.0 * rvir[sel]).astype(np.float32)
             level, S = _pick_level_span(grid, float(cover.max()), s_max)
-            chunk = max(1, min(8192, int(slot_budget // K)))
+            chunk = _chunk_for(K, slot_budget)
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_b(part.size, K)

@@ -56,7 +56,7 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     boundary may gather a few extra hits, which are truncated to j exactly
     as the reference's walk stops at j (kd2.c:663-670).
     """
-    from .solver import (_k_limit, _pad_b, _pick_level_span, _pad_to_bucket,
+    from .solver import (_chunk_for, _k_limit, _pad_b, _pick_level_span, _pad_to_bucket,
                          _stage_grid)
 
     if getattr(grid, "soa8t", None) is not None:
@@ -94,7 +94,7 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
             sel = todo[need_cap[todo] == capacity]
             K = int(min(capacity, max(512, _k_limit(grid, s_max))))
             level, S = _pick_level_span(grid, float(cover[sel].max()), s_max)
-            chunk = max(1, min(8192, int(slot_budget // K)))
+            chunk = _chunk_for(K, slot_budget)
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_b(part.size, K)

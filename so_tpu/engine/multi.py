@@ -24,7 +24,7 @@ import numpy as np
 
 from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
-from .solver import (_k_limit, _pad_b, _pad_to_bucket, _pick_level_span,
+from .solver import (_chunk_for, _k_limit, _pad_b, _pad_to_bucket, _pick_level_span,
                      _stage_grid, ladder_radius, rvir_ladder, scan_sorted)
 
 
@@ -107,7 +107,7 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
             k_eff = np.minimum(cur_k[sel], kmax[sel])
             radii = ladder_radius(rgtp[sel], k_eff)
             level, S = _pick_level_span(grid, float(radii.max()), s_max)
-            chunk = max(1, min(8192, int(slot_budget // K)))
+            chunk = _chunk_for(K, slot_budget)
             for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_b(part.size, K)

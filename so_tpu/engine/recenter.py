@@ -56,7 +56,7 @@ def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         K = int(min(capacity, _k_limit(grid, s_max)))
         radii = radii_all[todo]
         level, S = _pick_level_span(grid, float(radii.max()) if radii.size else 0.0, s_max)
-        chunk = max(1, min(8192, int(slot_budget // K)))
+        chunk = _chunk_for(K, slot_budget)
         still = []
         for lo in range(0, todo.size, chunk):
             part = todo[lo:lo + chunk]

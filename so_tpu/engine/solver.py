@@ -260,11 +260,19 @@ def _pad_to_bucket(n: int, buckets=(256, 1024, 4096)) -> int:
     return ((n + 4095) // 4096) * 4096
 
 
+def _chunk_for(K: int, slot_budget: int) -> int:
+    """Halos per dispatch. XLA-fallback tiers (K > K_SLAB_MAX) hold many
+    live (B, K) temporaries, so their B*K budget is much smaller."""
+    if K > K_SLAB_MAX:
+        return max(1, min(64, (1 << 23) // K))
+    return max(1, min(16384, (1 << 26) // K))
+
+
 def _pad_b(n: int, K: int) -> int:
     """Batch pad bucket; giant-K tiers keep B tiny so B*K slot buffers
     stay within HBM."""
-    if K >= (1 << 18):
-        return max(32, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    if K > K_SLAB_MAX:
+        return max(8, 1 << int(np.ceil(np.log2(max(n, 1)))))
     return _pad_to_bucket(n)
 
 

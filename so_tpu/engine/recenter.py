@@ -43,7 +43,7 @@ def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                         k0_cap: int = 4096, s_max: int = 11,
                         slot_budget: int = 1 << 25) -> np.ndarray:
     """Batched recentring for all halos; escalates capacity on overflow."""
-    from .solver import _k_limit, _pick_level_span, _pad_to_bucket
+    from .solver import _chunk_for, _k_limit, _pick_level_span, _pad_to_bucket
 
     G = centers.shape[0]
     centers = np.asarray(centers, np.float32)

@@ -39,6 +39,7 @@ from functools import partial
 
 import os
 import sys
+from time import perf_counter as _pc
 
 import jax
 import jax.numpy as jnp
@@ -356,15 +357,17 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 r_pad = np.zeros(B, np.float32)
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = radii[lo:lo + chunk]
-                if os.environ.get("SO_TPU_DEBUG"):
-                    print(f"so_tpu[solve]: stage B={B} K={K} S={S} "
-                          f"level={level} n={part.size} "
-                          f"rmax={float(r_pad.max()):.4g}",
-                          file=sys.stderr, flush=True)
+                t0 = _pc() if os.environ.get("SO_TPU_DEBUG") else 0.0
                 packed = stage_fn(level, K, S, n_members,
                                   jnp.asarray(c_pad), jnp.asarray(r_pad),
                                   thr32)
                 ints, flts = unpack_stage_out(np.asarray(packed)[:part.size])
+                if os.environ.get("SO_TPU_DEBUG"):
+                    print(f"so_tpu[solve]: stage B={B} K={K} S={S} "
+                          f"level={level} n={part.size} "
+                          f"rmax={float(r_pad.max()):.4g} "
+                          f"dt={(_pc() - t0) * 1e3:.1f}ms",
+                          file=sys.stderr, flush=True)
                 n_in = ints[:, 0]
                 jstar = ints[:, 1]
                 found = ints[:, 2].astype(bool)

@@ -135,24 +135,28 @@ def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int):
 
 
 def pack_stage_out(out):
-    """One fetch-friendly i32 (B,7) array:
-    [n_in, jstar, found, overflow, mvir_bits, rvir_bits, d2cut_bits]
-    (floats bit-cast) — a single D2H round-trip per stage over a
-    remote-device tunnel instead of eight."""
+    """One fetch-friendly i32 (B,5) array:
+    [n_in | found<<30 | overflow<<31, jstar, mvir_bits, rvir_bits,
+    d2cut_bits] (floats bit-cast) — a single small D2H round-trip per
+    stage over a remote-device tunnel instead of eight fetches."""
+    w0 = (out["n_in"].astype(jnp.int32)
+          | (out["found"].astype(jnp.int32) << 30)
+          | (out["overflow"].astype(jnp.int32) << 31))
     return jnp.stack(
-        [out["n_in"].astype(jnp.int32),
+        [w0,
          out["jstar"].astype(jnp.int32),
-         out["found"].astype(jnp.int32),
-         out["overflow"].astype(jnp.int32),
          jax.lax.bitcast_convert_type(out["mvir"], jnp.int32),
          jax.lax.bitcast_convert_type(out["rvir"], jnp.int32),
          jax.lax.bitcast_convert_type(out["d2cut"], jnp.int32)], axis=1)
 
 
 def unpack_stage_out(packed: np.ndarray):
-    """Host-side inverse of pack_stage_out."""
-    ints = np.ascontiguousarray(packed[:, :4])
-    flts = np.ascontiguousarray(packed[:, 4:7]).view(np.float32)
+    """Host-side inverse of pack_stage_out: ((B,4) ints [n_in, jstar,
+    found, overflow], (B,3) floats [mvir, rvir, d2cut])."""
+    w0 = packed[:, 0]
+    ints = np.stack([w0 & 0x3FFFFFFF, packed[:, 1],
+                     (w0 >> 30) & 1, (w0 >> 31) & 1], axis=1)
+    flts = np.ascontiguousarray(packed[:, 2:5]).view(np.float32)
     return ints, flts
 
 

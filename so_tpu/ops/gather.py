@@ -167,7 +167,7 @@ def ragged_ball_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
 
     key = jnp.where(valid, d2, jnp.inf)
     if sort:
-        key, gidx = jax.lax.sort((key, gidx), num_keys=1, is_stable=True)
+        key, gidx = jax.lax.sort((key, gidx), num_keys=1, is_stable=False)
     return GatherResult(d2=key, idx=gidx, n_in=n_in, overflow=overflow)
 
 
@@ -210,7 +210,10 @@ def slab_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
     n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
 
     ops = [d2] + [out[:, 1 + i, :] for i in range(len(kernel_chans))]
-    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
+    # unstable: ~1.5x faster on TPU (stable adds an iota tiebreak operand);
+    # the reference's own distance sort (NR sort2, kd2.c) is unstable too,
+    # so equal-d2 tie order is arbitrary in both implementations
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1, is_stable=False)
     d2_s = sorted_ops[0]
     rest = list(sorted_ops[1:])
 

@@ -219,7 +219,7 @@ def solve_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
         n_in = jax.lax.psum(n_in_l, "part")
         overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
 
-        d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1, is_stable=True)
+        d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1, is_stable=False)
         out = scan_sorted(d2_s, m_s, None, n_in, thr, n_members)
         out.update(n_in=n_in, overflow=overflow)
         return out
@@ -262,7 +262,7 @@ def derived_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
         overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
 
         d2_s, m_s, t_s = jax.lax.sort((d2_all, m_all, t_all),
-                                      num_keys=1, is_stable=True)
+                                      num_keys=1, is_stable=False)
         meta = t_s.astype(jnp.int32)
         out = derived_from_sorted(d2_s, m_s, meta & 0xF, (meta >> 4) > 0,
                                   n_in, rvir, mvir, fball, n_members,

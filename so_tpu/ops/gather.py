@@ -110,19 +110,28 @@ def cell_ranges(grid: CellGrid, level: int, centers, radii, r2_mask, S: int,
         # slab start and fusing ranges with st[i+1] == st[i]+cnt[i] turns
         # the cube into a handful of long runs — fewer DMA streams and far
         # less chunk-alignment waste for the slab kernel.
-        rows = jnp.arange(B, dtype=jnp.int32)[:, None]
         big = jnp.int32(1 << 30)
         key = jnp.where(cnt > 0, st, big)
         key_s, st_s, cnt_s = jax.lax.sort((key, st, cnt), num_keys=1)
         cnt_s = jnp.where(key_s < big, cnt_s, 0)
         prev_end = jnp.concatenate(
             [jnp.full((B, 1), -1, st_s.dtype), (st_s + cnt_s)[:, :-1]], axis=1)
-        is_new = st_s != prev_end
-        run_id = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+        # compaction by a second tiny sort instead of scatter-adds (XLA
+        # scatter serializes on TPU): run j's count is the difference of
+        # exclusive prefix-counts at consecutive run starts
         C = st.shape[1]
-        st = jnp.zeros((B, C), st.dtype).at[rows, run_id].add(
-            jnp.where(is_new, st_s, 0))
-        cnt = jnp.zeros((B, C), cnt.dtype).at[rows, run_id].add(cnt_s)
+        is_new = (st_s != prev_end) & (key_s < big)
+        csum = jnp.cumsum(cnt_s, axis=1)
+        pref = csum - cnt_s
+        total_cnt = csum[:, -1:]
+        nrun = is_new.sum(axis=1, keepdims=True)
+        slotc = jnp.arange(C, dtype=jnp.int32)[None, :]
+        key2 = jnp.where(is_new, slotc, jnp.int32(C))
+        _, st_m, pref_m = jax.lax.sort((key2, st_s, pref), num_keys=1)
+        pref_next = jnp.concatenate([pref_m[:, 1:], total_cnt], axis=1)
+        pref_next = jnp.where(slotc + 1 < nrun, pref_next, total_cnt)
+        cnt = jnp.where(slotc < nrun, pref_next - pref_m, 0)
+        st = st_m
         # footprint covers the align-down..align-up window of each run (the
         # kernel reads aligned chunks and masks rows outside [st, st+cnt))
         foot = jnp.where(cnt > 0,

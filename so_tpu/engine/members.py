@@ -48,16 +48,25 @@ def _members_stage(grid: CellGrid, level: int, K: int, S: int,
 
 def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                     j: np.ndarray, mvir: np.ndarray, s_max: int = 11,
-                    slot_budget: int = 1 << 25):
+                    slot_budget: int = 1 << 25, stage_fn=None):
     """Per solved halo: sorted interior original-index list (length j) and
     the group mean velocity.
 
     Capacity is sized from the known interior count j; ties at the d2cut
     boundary may gather a few extra hits, which are truncated to j exactly
     as the reference's walk stops at j (kd2.c:663-670).
+
+    ``stage_fn(level, K, S, centers, cover_r, d2cut, j, mvir)`` overrides
+    the single-device stage — the multi-device path
+    (parallel.mesh.extract_members_sharded) injects its shard_map stage
+    here and reuses this escalation driver unchanged.
     """
     from .solver import (_chunk_for, _k_limit, _pad_b, _pick_level_span, _pad_to_bucket,
                          _stage_grid)
+
+    if stage_fn is None:
+        stage_fn = lambda level, K, S, *a: _members_stage(
+            _stage_grid(grid, K), level, K, S, *a)
 
     if getattr(grid, "soa8t", None) is not None:
         s_max = min(s_max, 7)
@@ -113,8 +122,8 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                     print(f"so_tpu[members]: stage B={B} K={K} S={S} "
                           f"level={level} n={part.size}",
                           file=sys.stderr, flush=True)
-                orig, vc, n_in, ovf = _members_stage(
-                    _stage_grid(grid, K), level, K, S, jnp.asarray(c_pad),
+                orig, vc, n_in, ovf = stage_fn(
+                    level, K, S, jnp.asarray(c_pad),
                     jnp.asarray(r_pad), jnp.asarray(d_pad),
                     jnp.asarray(j_pad), jnp.asarray(m_pad))
                 orig = np.asarray(orig)[:part.size]

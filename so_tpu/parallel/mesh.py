@@ -165,11 +165,14 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
 
 
 def _local_hits(grid: CellGrid, level: int, K: int, S: int, centers, radii,
-                channels: tuple):
+                channels: tuple, r2_mask=None):
     """Per-shard slotted hits (unsorted): d2 + requested channel arrays,
     n_in, overflow. Uses the Pallas slab kernel when the payload is present
-    (channels from {"mass", "meta"}; meta packs species|mark<<4)."""
-    r2 = radii * radii
+    (channels from {"mass", "meta", "mvx", "mvy", "mvz", "ilo", "ihi"};
+    meta packs species|mark<<4, ilo/ihi the f32-exact split local row).
+    ``r2_mask`` optionally tightens the acceptance radius below radii^2
+    (the member pass gathers at a covering radius but accepts d2cut)."""
+    r2 = radii * radii if r2_mask is None else r2_mask
     if grid.soa8t is not None:
         from ..ops.gather import cell_ranges
         from ..ops.pallas_gather import CHUNK, pallas_slab_gather
@@ -184,6 +187,7 @@ def _local_hits(grid: CellGrid, level: int, K: int, S: int, centers, radii,
                 n_in, total > K)
     g = ragged_ball_gather(grid, level, centers, radii, r2, K, S, sort=False)
     ok = jnp.isfinite(g.d2)
+    mv = None
     outs = [g.d2]
     for ch in channels:
         if ch == "mass":
@@ -193,6 +197,14 @@ def _local_hits(grid: CellGrid, level: int, K: int, S: int, centers, radii,
                     | (grid.mark[g.idx].astype(jnp.int32) << 4)
                     ).astype(jnp.float32)
             outs.append(jnp.where(ok, meta, 0.0))
+        elif ch in ("mvx", "mvy", "mvz"):
+            if mv is None:
+                mv = grid.mass[g.idx, None] * grid.vel[g.idx]
+            outs.append(jnp.where(ok, mv[..., "xyz".index(ch[2])], 0.0))
+        elif ch == "ilo":
+            outs.append(jnp.where(ok, (g.idx & 0xFFF).astype(jnp.float32), 0.0))
+        elif ch == "ihi":
+            outs.append(jnp.where(ok, (g.idx >> 12).astype(jnp.float32), 0.0))
         else:
             raise ValueError(ch)
     return (*outs, g.n_in, g.overflow)
@@ -283,6 +295,100 @@ def derived_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
         out_specs=out_specs,
         check_vma=False,
     )(sgrid, centers, rvir, mvir, grav)
+
+
+@partial(jax.jit, static_argnames=("mesh", "level", "K", "S"))
+def members_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
+                          S: int, centers, cover_r, d2cut, j, mvir):
+    """Sharded interior-member extraction (kdTagParticles + _VcmParticles,
+    kd2.c:823, 595-609): per-shard gathers are translated to *global*
+    original particle indices, all_gathered over 'part', merge-sorted by
+    distance, and cut at the interior count j. Returns the same
+    (orig, vcm, n_in, overflow) as engine.members._members_stage, with the
+    slot axis nshards*K wide."""
+    from ..ops.pallas_gather import decode_idx
+
+    def body(sg: ShardedGrid, centers, cover_r, d2cut, j, mvir):
+        grid = sg.local_cellgrid()
+        d2_l, mvx, mvy, mvz, ilo, ihi, n_in_l, ovf_l = _local_hits(
+            grid, level, K, S, centers, cover_r,
+            ("mvx", "mvy", "mvz", "ilo", "ihi"), r2_mask=d2cut)
+        rowl = decode_idx(ilo, ihi)
+        orig_l = jnp.where(jnp.isfinite(d2_l),
+                           grid.orig_idx[jnp.clip(rowl, 0, grid.n - 1)], -1)
+
+        ag = lambda a: jax.lax.all_gather(a, "part", axis=1, tiled=True)
+        d2_all = ag(d2_l)
+        n_in = jax.lax.psum(n_in_l, "part")
+        overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
+
+        d2_s, orig_s, x_s, y_s, z_s = jax.lax.sort(
+            (d2_all, ag(orig_l), ag(mvx), ag(mvy), ag(mvz)),
+            num_keys=1, is_stable=False)
+        Km = d2_s.shape[1]
+        interior = jnp.arange(Km, dtype=jnp.int32)[None, :] < j[:, None]
+        orig = jnp.where(interior & jnp.isfinite(d2_s), orig_s, -1)
+        w = jnp.where(interior[:, :, None],
+                      jnp.stack([x_s, y_s, z_s], axis=-1), 0.0)
+        vcm = w.sum(axis=1) / mvir[:, None]
+        return dict(orig=orig, vcm=vcm, n_in=n_in, overflow=overflow)
+
+    specs_grid = ShardedGrid(
+        sgrid.m, P(), P(), *(P("part"),) * 7,
+        tuple(P("part") for _ in sgrid.starts),
+        None if sgrid.soa8t is None else P("part"))
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(specs_grid, P("halo"), P("halo"), P("halo"), P("halo"),
+                  P("halo")),
+        out_specs={k: P("halo") for k in ("orig", "vcm", "n_in", "overflow")},
+        check_vma=False,
+    )(sgrid, centers, cover_r, d2cut, j, mvir)
+    return out["orig"], out["vcm"], out["n_in"], out["overflow"]
+
+
+def sharded_members_fn(mesh: Mesh, sgrid: ShardedGrid):
+    """Adapter with the same signature as engine.members._members_stage
+    (minus the grid argument), for reuse of the host-side escalation
+    driver via extract_members(stage_fn=...)."""
+    n_halo = mesh.shape["halo"]
+
+    def stage(level, K, S, centers, cover_r, d2cut, j, mvir):
+        B = centers.shape[0]
+        pad = (-B) % n_halo
+        if pad:
+            zf = lambda a, fill: jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+            centers = zf(centers, 0.0)
+            cover_r = zf(cover_r, 1e-30)
+            d2cut = zf(d2cut, 0.0)
+            j = zf(j, 0)
+            mvir = zf(mvir, 1.0)
+        out = members_stage_sharded(mesh, sgrid, level, K, S, centers,
+                                    cover_r, d2cut, j, mvir)
+        if pad:
+            out = tuple(v[:B] for v in out)
+        return out
+
+    return stage
+
+
+def extract_members_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, d2cut,
+                            j, mvir, **kw):
+    """Multi-device extract_members: same escalation driver, sharded stage."""
+    from ..engine.members import extract_members
+
+    class _GridProxy:
+        m = sgrid.m
+        n = int(sgrid.nshards * sgrid.n_local)
+        period = sgrid.period
+        soa8t = sgrid.soa8t
+
+        def ncell(self, level):
+            return 1 << (sgrid.m - level)
+
+    return extract_members(_GridProxy(), centers, d2cut, j, mvir,
+                           stage_fn=sharded_members_fn(mesh, sgrid), **kw)
 
 
 def sharded_stage_fn(mesh: Mesh, sgrid: ShardedGrid):

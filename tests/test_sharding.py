@@ -130,6 +130,34 @@ def test_sharded_derived_matches_single(data):
                                rtol=1e-5)
 
 
+def test_sharded_members_match_single(data):
+    """Sharded member extraction (global-index translation + all_gather
+    merge) == single-device: identical member sets and vcm."""
+    from so_tpu.engine.members import extract_members
+    from so_tpu.parallel.mesh import extract_members_sharded
+
+    d, centers, rgtp = data
+    thr = 178.0
+    grid = build_grid(d["pos"], d["mass"], vel=d["vel"], m=3)
+    solved = solve_rvir(grid, centers, rgtp, thr)
+    ok = solved.code == 0
+    assert ok.sum() >= 2
+    want, want_vcm = extract_members(grid, centers[ok], solved.d2cut[ok],
+                                     solved.j[ok], solved.mvir[ok])
+
+    mesh = make_mesh(2, 4)
+    sgrid = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
+                               mesh=mesh)
+    got, got_vcm = extract_members_sharded(mesh, sgrid, centers[ok],
+                                           solved.d2cut[ok], solved.j[ok],
+                                           solved.mvir[ok])
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        # tie order at equal d2 is arbitrary; the member SET is exact
+        np.testing.assert_array_equal(np.sort(a), np.sort(b))
+    np.testing.assert_allclose(got_vcm, want_vcm, rtol=2e-5, atol=1e-7)
+
+
 def test_sharded_solve_pallas_payload():
     """The Pallas slab kernel under shard_map (interpret mode on CPU) must
     agree with the XLA local-gather sharded path. Deliberately tiny: the

@@ -151,6 +151,57 @@ def read_tipsy(fp, standard: bool = False) -> ParticleSet:
     return ParticleSet(h, pos, vel, mass, phi, temp)
 
 
+def read_tipsy_segment(path, start: int, count: int,
+                       standard: bool = False) -> ParticleSet:
+    """Read particles [start, start+count) of a snapshot (global file
+    order: gas, dark, star) by seeking directly to the slice — each host
+    of a sharded run reads only its own segment instead of the whole file
+    (the reference is single-process and always reads everything,
+    kdReadTipsy kd2.c:318-421; this is the multi-host extension).
+
+    The returned ParticleSet carries the FULL header (so species
+    boundaries stay global) but only ``count`` rows of particle data;
+    species of row i is ``pset.ptype(start + i)``.
+    """
+    with open(path, "rb") as fp:
+        h = read_header(fp, standard)
+        hdr_size = header_dtype(standard).itemsize
+        spans = [(h.nsph, GAS_DTYPE[standard], True),
+                 (h.ndark, DARK_DTYPE[standard], False),
+                 (h.nstar, STAR_DTYPE[standard], False)]
+        n = h.nsph + h.ndark + h.nstar
+        if not (0 <= start and start + count <= n):
+            raise ValueError(f"segment [{start}, {start + count}) outside "
+                             f"snapshot of {n} particles")
+
+        pos = np.zeros((count, 3), np.float32)
+        vel = np.zeros((count, 3), np.float32)
+        mass = np.zeros(count, np.float32)
+        phi = np.zeros(count, np.float32)
+        temp = np.zeros(count, np.float32)
+
+        base = hdr_size            # byte offset of the current species block
+        glo = 0                    # global index of the block's first row
+        end = start + count
+        for cnt_sp, dt, has_temp in spans:
+            lo = max(start, glo)
+            hi = min(end, glo + cnt_sp)
+            if lo < hi:
+                fp.seek(base + (lo - glo) * dt.itemsize)
+                rec = np.frombuffer(_read_exact(fp, dt.itemsize * (hi - lo)),
+                                    dtype=dt)
+                sl = slice(lo - start, hi - start)
+                pos[sl] = rec["pos"].astype(np.float32)
+                vel[sl] = rec["vel"].astype(np.float32)
+                mass[sl] = rec["mass"].astype(np.float32)
+                phi[sl] = rec["phi"].astype(np.float32)
+                if has_temp:
+                    temp[sl] = rec["temp"].astype(np.float32)
+            base += cnt_sp * dt.itemsize
+            glo += cnt_sp
+    return ParticleSet(h, pos, vel, mass, phi, temp)
+
+
 def write_header(fp, h: TipsyHeader, standard: bool) -> None:
     dt = header_dtype(standard)
     rec = np.zeros(1, dtype=dt)

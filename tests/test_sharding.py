@@ -158,6 +158,24 @@ def test_sharded_members_match_single(data):
     np.testing.assert_allclose(got_vcm, want_vcm, rtol=2e-5, atol=1e-7)
 
 
+def test_host_segments_partition():
+    """host_segment slices are contiguous, balanced, and covering."""
+    from so_tpu.parallel.distributed import host_segment, init_distributed
+
+    for n, hosts in [(17, 4), (16, 4), (3, 8), (0, 2), (1024, 1)]:
+        segs = [host_segment(n, hosts, h) for h in range(hosts)]
+        pos = 0
+        for start, count in segs:
+            assert start == pos
+            pos += count
+        assert pos == n
+        sizes = [c for _, c in segs]
+        assert max(sizes) - min(sizes) <= 1
+    # defaults read jax.process_index/count (single-process here)
+    assert host_segment(10) == (0, 10)
+    assert init_distributed() is False  # no coordinator configured
+
+
 def test_sharded_solve_pallas_payload():
     """The Pallas slab kernel under shard_map (interpret mode on CPU) must
     agree with the XLA local-gather sharded path. Deliberately tiny: the

@@ -70,6 +70,43 @@ def test_roundtrip_multispecies():
             and (t[10:] == STAR).all()
 
 
+def test_segment_reader_matches_whole_file(tmp_path):
+    """read_tipsy_segment(start, count) == read_tipsy slices for every
+    species-boundary-straddling window, both endiannesses."""
+    from so_tpu.io.tipsy import read_tipsy_segment
+
+    rng = np.random.default_rng(9)
+    n = (4, 6, 5)
+    gas = np.zeros(n[0], GAS_DTYPE[False])
+    dark = np.zeros(n[1], DARK_DTYPE[False])
+    star = np.zeros(n[2], STAR_DTYPE[False])
+    for rec in (gas, dark, star):
+        for f in rec.dtype.names:
+            rec[f] = rng.normal(size=rec[f].shape).astype(np.float32)
+    hdr = TipsyHeader(time=1.0, nbodies=sum(n), ndim=3, nsph=n[0],
+                      ndark=n[1], nstar=n[2])
+    for std in (False, True):
+        path = str(tmp_path / f"snap{int(std)}.bin")
+        with open(path, "wb") as f:
+            write_tipsy(f, hdr, gas, dark, star, std)
+        whole = read_tipsy(path, std)
+        for start, count in [(0, 15), (0, 4), (2, 6), (3, 9), (9, 6),
+                             (14, 1), (5, 0)]:
+            seg = read_tipsy_segment(path, start, count, std)
+            sl = slice(start, start + count)
+            np.testing.assert_array_equal(seg.pos, whole.pos[sl])
+            np.testing.assert_array_equal(seg.vel, whole.vel[sl])
+            np.testing.assert_array_equal(seg.mass, whole.mass[sl])
+            np.testing.assert_array_equal(seg.phi, whole.phi[sl])
+            np.testing.assert_array_equal(seg.temp, whole.temp[sl])
+            # species via global indices
+            np.testing.assert_array_equal(
+                seg.ptype(np.arange(start, start + count)),
+                whole.ptype_all()[sl])
+        with pytest.raises(ValueError):
+            read_tipsy_segment(path, 10, 6, std)
+
+
 def test_native_std_same_logical_content():
     rng = np.random.default_rng(4)
     dark = np.zeros(16, DARK_DTYPE[False])

@@ -160,6 +160,63 @@ def unpack_stage_out(packed: np.ndarray):
     return ints, flts
 
 
+@partial(jax.jit, static_argnames=("level", "K", "S", "level2", "K2", "S2",
+                                   "B2", "n_members", "dk"))
+def _solve_stage_fused(grid: CellGrid, level: int, K: int, S: int,
+                       level2: int, K2: int, S2: int, B2: int,
+                       n_members: int, dk: int, centers, radii, kleft, thr):
+    """Two escalation rounds in ONE dispatch: the usual tier-1 stage plus a
+    compacted tier-2 pass (bigger capacity K2 and/or the next dk ladder
+    radii) for the halos tier 1 could not settle — the handful of largest
+    halos no longer cost a second host round-trip (~25 ms each over a
+    remote-device tunnel).
+
+    Returns an (B + B2, 7) i32 array: rows [:B] are the tier-1
+    pack_stage_out quintuples (2 pad columns), rows [B:] are the tier-2
+    quintuples plus [halo row id (-1 = unused slot), ladder steps taken].
+    The host applies its unchanged per-round decision logic to each block
+    in sequence, so the escalation semantics are identical to two
+    dispatched rounds (kd2.c:745-839 staging)."""
+    B = centers.shape[0]
+    g = slab_gather(grid, level, centers, radii, radii * radii, K, S,
+                    channels=("mass",))
+    out1 = scan_sorted(g.d2, g.channels[0], None, g.n_in, thr, n_members)
+    out1.update(n_in=g.n_in, overflow=g.overflow)
+    p1 = pack_stage_out(out1)
+
+    # tier-2 population: capacity overflow, or no crossing found with
+    # ladder rungs left (and not an obvious -1: n_in < nMembers without
+    # overflow resolves immediately on the host)
+    need2 = g.overflow | ((~out1["found"]) & (kleft > 0)
+                          & (g.n_in >= n_members))
+    big = jnp.int32(1 << 30)
+    key = jnp.where(need2, jnp.arange(B, dtype=jnp.int32), big)
+    ids = jax.lax.sort(key)[:B2]              # compacted halo rows
+    valid2 = ids < big
+    idc = jnp.where(valid2, ids, 0)
+
+    # radius: unchanged for overflow (capacity regrow, smooth2.c:49-55);
+    # next dk ladder rungs otherwise (kd2.c:765-767), in exact float32
+    ovf_sel = g.overflow[idc] & valid2
+    steps = jnp.where(valid2 & ~ovf_sel,
+                      jnp.minimum(kleft[idc], dk), 0).astype(jnp.int32)
+    r2 = radii[idc]
+    for i in range(dk):                       # static repeated f32 multiply
+        r2 = jnp.where(i < steps, r2 * jnp.float32(1.2), r2)
+    r2 = jnp.where(valid2, r2, jnp.float32(1e-30))
+    c2 = centers[idc]
+
+    g2 = slab_gather(grid, level2, c2, r2, r2 * r2, K2, S2,
+                     channels=("mass",))
+    out2 = scan_sorted(g2.d2, g2.channels[0], None, g2.n_in, thr, n_members)
+    out2.update(n_in=g2.n_in, overflow=g2.overflow)
+    p2 = jnp.concatenate(
+        [pack_stage_out(out2),
+         jnp.where(valid2, idc, -1)[:, None], steps[:, None]], axis=1)
+    p1x = jnp.concatenate([p1, jnp.zeros((B, 2), jnp.int32)], axis=1)
+    return jnp.concatenate([p1x, p2], axis=0)
+
+
 @partial(jax.jit, static_argnames=("level", "K", "S", "n_members"))
 def _solve_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
                  centers, radii, thr):
@@ -285,14 +342,19 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                thr: float, n_members: int = 8,
                k0_cap: int = 4096, s_max: int = 11,
                slot_budget: int = 1 << 26,
-               progress=None, stage_fn=None) -> SolveResult:
+               progress=None, stage_fn=None, fused=None) -> SolveResult:
     """Solve R_Delta for every halo (batched, staged capacity escalation).
 
     ``stage_fn(level, K, S, n_members, centers, radii, thr)`` overrides the
     single-device stage kernel — the multi-device path
     (parallel.mesh.solve_rvir_sharded) injects its shard_map stage here and
     reuses this escalation driver unchanged.
+
+    ``fused`` runs the first round through _solve_stage_fused (tier 1 +
+    compacted tier 2 in one dispatch); default: on for the slab path with
+    large batches, where the second round-trip dominates the tail cost.
     """
+    default_stage = stage_fn is None
     if stage_fn is None:
         stage_fn = lambda level, K, *a: _solve_stage(_stage_grid(grid, K),
                                                      level, K, *a)
@@ -305,8 +367,13 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     # the slab kernel walks all S^3 cell slots sequentially per halo, so it
     # prefers a smaller cube at a coarser (occupancy-matched) level; one
     # static S also keeps the (slow, remote) kernel compile count down
-    if getattr(grid, "soa8t", None) is not None:
+    has_slab = getattr(grid, "soa8t", None) is not None
+    if has_slab:
         s_max = min(s_max, 7)
+    if fused is None:
+        # fused round 1 needs direct grid access (no injected stage) and a
+        # batch big enough that the saved round-trip matters
+        fused = has_slab and default_stage and G >= 2048
 
     code = np.zeros(G, np.int32)
     mvir = np.zeros(G, np.float32)
@@ -332,6 +399,132 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     DK = 8                                # ladder exponents per escalation
     #                                       (few big jumps: every extra tail
     #                                       round costs a full dispatch)
+    k_cap_max = max(2 * _k_limit(grid, s_max), k0_cap)
+
+    def apply_round(part, ints, flts, k_now, cap_now):
+        """One round of the reference's regrow decisions (kd2.c:745-839)
+        for a batch of halos, given their stage outputs. Mutates the
+        enclosing per-halo state arrays; identical whether the stage ran
+        as its own dispatch or as a pass of the fused program."""
+        if part.size == 0:
+            return
+        n_in = ints[:, 0]
+        jstar = ints[:, 1]
+        found = ints[:, 2].astype(bool)
+        ovf = ints[:, 3].astype(bool)
+        o_mvir, o_rvir, o_d2c = flts[:, 0], flts[:, 1], flts[:, 2]
+
+        cur_k[part] = np.minimum(k_now, kmax[part])
+        at_cap_k = cur_k[part] >= kmax[part]
+
+        # -1: first ladder radius holds < nMembers (kd2.c:772-778).
+        # Decidable negative when n_in >= nMembers (any capacity);
+        # decidable positive only without overflow.
+        m1 = minus1_open[part]
+        is_m1 = m1 & ~ovf & (n_in < n_members)
+        minus1_open[part[n_in >= n_members]] = False
+
+        # resolutions (only trustworthy without overflow)
+        ok = ~ovf
+        is_m2 = ok & found & (jstar == n_members - 2) & ~is_m1
+        is_succ = ok & found & (jstar > n_members - 2) & ~is_m1
+        is_m3 = ok & ~found & at_cap_k & ~is_m1 & ~minus1_open[part]
+
+        idx = part[is_m1]
+        code[idx] = -1; mvir[idx] = -1.0; rvir[idx] = -1.0; resolved[idx] = True
+        idx = part[is_m2]
+        code[idx] = -2; mvir[idx] = -2.0; rvir[idx] = -2.0; resolved[idx] = True
+        idx = part[is_m3]
+        code[idx] = -3; mvir[idx] = -3.0; rvir[idx] = -3.0; resolved[idx] = True
+        idx = part[is_succ]
+        code[idx] = 0
+        mvir[idx] = o_mvir[is_succ]
+        rvir[idx] = o_rvir[is_succ]
+        jout[idx] = jstar[is_succ]
+        d2cut[idx] = o_d2c[is_succ]
+        resolved[idx] = True
+
+        # escalation for the rest
+        rest = ~(is_m1 | is_m2 | is_succ | is_m3)
+        # overflow (or -1 undecided under overflow): more capacity,
+        # same radius — mirrors smGrowList (smooth2.c:49-55)
+        grow_cap = rest & ovf
+        cur_cap[part[grow_cap]] = np.minimum(
+            np.asarray(cap_now, np.int64)[grow_cap] * 4
+            if np.ndim(cap_now) else int(cap_now) * 4, k_cap_max)
+        # no overflow, nothing found, ladder not exhausted: grow ball
+        grow_ball = rest & ~ovf & ~at_cap_k
+        gi = part[grow_ball]
+        cur_k[gi] = np.minimum(cur_k[gi] + DK, kmax[gi])
+        # pre-size capacity for the larger ball from observed density
+        vol_ratio = int(np.ceil(1.2 ** (3 * DK)))
+        est = (n_in[grow_ball].astype(np.int64) + 64) * vol_ratio
+        cur_cap[gi] = np.maximum(cur_cap[gi],
+                                 np.minimum(2 ** np.ceil(np.log2(
+                                     np.maximum(est, 1))).astype(np.int64),
+                                     k_cap_max))
+        if progress is not None:
+            progress(resolved.sum(), G)
+
+    if fused and has_slab and default_stage and not resolved.all():
+        # round 1 + compacted round 2 in one dispatch
+        live = np.nonzero(~resolved)[0]
+        K = int(min(k0_cap, _k_limit(grid, s_max)))
+        K2 = int(min(K_SLAB_MAX, _k_limit(grid, s_max), 8 * K))
+        B2 = 256
+        k_eff = np.minimum(cur_k[live], kmax[live])
+        radii = ladder_radius(rgtp[live], k_eff)
+        level, S = _pick_level_span(grid, float(radii.max()), s_max)
+        r2max = float(ladder_radius(
+            rgtp[live], np.minimum(k_eff + DK, kmax[live])).max())
+        # prefer the tier-1 level for tier 2: overflow halos regather at
+        # their tier-1 radius, and a coarser level would inflate their
+        # chunk-aligned footprints past K2; only go coarser when the grown
+        # ladder radius cannot fit in an s_max cube here
+        cs1 = float(np.asarray(grid.period, np.float32).min()) / grid.ncell(level)
+        span2 = int(2 * r2max / cs1) + 2
+        if span2 <= s_max:
+            level2, S2 = level, max(span2, S)
+        else:
+            level2, S2 = _pick_level_span(grid, max(r2max, float(radii.max())),
+                                          s_max)
+        chunk = max(1, min(16384, (1 << 26) // K))
+        for lo in range(0, live.size, chunk):
+            part = live[lo:lo + chunk]
+            B = _pad_b(part.size, K)
+            c_pad = np.zeros((B, 3), np.float32)
+            r_pad = np.zeros(B, np.float32)
+            kl_pad = np.zeros(B, np.int32)
+            c_pad[:part.size] = centers[part]
+            r_pad[:part.size] = radii[lo:lo + chunk]
+            kl_pad[:part.size] = kmax[part] - k_eff[lo:lo + chunk]
+            t0 = _pc() if os.environ.get("SO_TPU_DEBUG") else 0.0
+            packed = _solve_stage_fused(
+                grid, level, K, S, level2, K2, S2, B2, n_members, DK,
+                jnp.asarray(c_pad), jnp.asarray(r_pad), jnp.asarray(kl_pad),
+                thr32)
+            arr = np.asarray(packed)
+            if os.environ.get("SO_TPU_DEBUG"):
+                print(f"so_tpu[solve]: fused B={B} K={K} S={S} level={level}"
+                      f" K2={K2} S2={S2} level2={level2} n={part.size} "
+                      f"dt={(_pc() - t0) * 1e3:.1f}ms",
+                      file=sys.stderr, flush=True)
+            ints1, flts1 = unpack_stage_out(arr[:part.size, :5])
+            p2 = arr[B:]
+            ids = p2[:, 5]
+            steps = p2[:, 6]
+            ok2 = (ids >= 0) & (ids < part.size)
+            ids_l = ids[ok2]
+            # -1 openness closes on the tier-1 counts for everyone BEFORE
+            # tier-2 rows are judged (the classic round order)
+            minus1_open[part[ints1[:, 0] >= n_members]] = False
+            mask1 = np.ones(part.size, bool)
+            mask1[ids_l] = False
+            apply_round(part[mask1], ints1[mask1], flts1[mask1],
+                        k_eff[lo:lo + chunk][mask1], K)
+            ints2, flts2 = unpack_stage_out(p2[ok2][:, :5])
+            apply_round(part[ids_l], ints2, flts2,
+                        k_eff[lo:lo + chunk][ids_l] + steps[ok2], K2)
 
     npart = grid.n
     guard = 0
@@ -372,62 +565,6 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                           f"rmax={float(r_pad.max()):.4g} "
                           f"dt={(_pc() - t0) * 1e3:.1f}ms",
                           file=sys.stderr, flush=True)
-                n_in = ints[:, 0]
-                jstar = ints[:, 1]
-                found = ints[:, 2].astype(bool)
-                ovf = ints[:, 3].astype(bool)
-                o_mvir, o_rvir, o_d2c = flts[:, 0], flts[:, 1], flts[:, 2]
-
-                at_cap_k = cur_k[part] >= kmax[part]
-
-                # -1: first ladder radius holds < nMembers (kd2.c:772-778).
-                # Decidable negative when n_in >= nMembers (any capacity);
-                # decidable positive only without overflow.
-                m1 = minus1_open[part]
-                is_m1 = m1 & ~ovf & (n_in < n_members)
-                minus1_open[part[n_in >= n_members]] = False
-
-                # resolutions (only trustworthy without overflow)
-                ok = ~ovf
-                is_m2 = ok & found & (jstar == n_members - 2) & ~is_m1
-                is_succ = ok & found & (jstar > n_members - 2) & ~is_m1
-                is_m3 = ok & ~found & at_cap_k & ~is_m1 & ~minus1_open[part]
-
-                idx = part[is_m1]
-                code[idx] = -1; mvir[idx] = -1.0; rvir[idx] = -1.0; resolved[idx] = True
-                idx = part[is_m2]
-                code[idx] = -2; mvir[idx] = -2.0; rvir[idx] = -2.0; resolved[idx] = True
-                idx = part[is_m3]
-                code[idx] = -3; mvir[idx] = -3.0; rvir[idx] = -3.0; resolved[idx] = True
-                idx = part[is_succ]
-                code[idx] = 0
-                mvir[idx] = o_mvir[is_succ]
-                rvir[idx] = o_rvir[is_succ]
-                jout[idx] = jstar[is_succ]
-                d2cut[idx] = o_d2c[is_succ]
-                resolved[idx] = True
-
-                # escalation for the rest
-                rest = ~(is_m1 | is_m2 | is_succ | is_m3)
-                # overflow (or -1 undecided under overflow): more capacity,
-                # same radius — mirrors smGrowList (smooth2.c:49-55)
-                grow_cap = rest & ovf
-                cur_cap[part[grow_cap]] = np.minimum(
-                    cur_cap[part[grow_cap]] * 4,
-                    max(2 * _k_limit(grid, s_max), k0_cap))
-                # no overflow, nothing found, ladder not exhausted: grow ball
-                grow_ball = rest & ~ovf & ~at_cap_k
-                gi = part[grow_ball]
-                cur_k[gi] = np.minimum(cur_k[gi] + DK, kmax[gi])
-                # pre-size capacity for the larger ball from observed density
-                vol_ratio = int(np.ceil(1.2 ** (3 * DK)))
-                est = (n_in[grow_ball].astype(np.int64) + 64) * vol_ratio
-                cur_cap[gi] = np.maximum(cur_cap[gi],
-                                         np.minimum(2 ** np.ceil(np.log2(
-                                             np.maximum(est, 1))).astype(np.int64),
-                                             max(2 * _k_limit(grid, s_max),
-                                                 k0_cap)))
-                if progress is not None:
-                    progress(resolved.sum(), G)
+                apply_round(part, ints, flts, k_eff[lo:lo + chunk], K)
     return SolveResult(code=code, mvir=mvir, rvir=rvir, j=jout, d2cut=d2cut,
                        vcm=vcm)

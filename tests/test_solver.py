@@ -112,3 +112,35 @@ def test_multi_threshold_matches_independent_runs():
         np.testing.assert_array_equal(multi.mvir[t], single.mvir)
         np.testing.assert_array_equal(multi.rvir[t], single.rvir)
         np.testing.assert_array_equal(multi.j[t], single.j)
+
+
+def test_fused_round_matches_classic():
+    """The fused tier1+tier2 single-dispatch round must reproduce the
+    classic two-round escalation bit-for-bit: same codes, Mvir, Rvir, j,
+    d2cut — including capacity-overflow halos (dense clump at a tiny
+    k0_cap) and ladder-growth halos (tiny Rgtp deep inside a clump)."""
+    rng = np.random.default_rng(23)
+    clumps = [
+        dict(center=(0.1, 0.0, 0.0), n=700, rmax=0.05, mass_total=0.3),
+        dict(center=(-0.3, 0.2, 0.1), n=300, rmax=0.04, mass_total=0.05),
+    ]
+    data = make_clumpy_box(rng, n_background=1200, clumps=clumps)
+    grid = build_grid(data["pos"], data["mass"], vel=data["vel"], m=2,
+                      pallas=True)
+    centers = np.array([
+        [0.1, 0.0, 0.0],        # big clump: overflows a tiny k0_cap
+        [-0.3, 0.2, 0.1],
+        [0.1, 0.004, 0.0],      # tiny Rgtp in the clump: ladder growth
+        [0.12, 0.01, 0.0],
+    ], np.float32)
+    rgtp = np.array([0.05, 0.04, 0.004, 0.03], np.float32)
+    thr = 178.0
+
+    classic = solve_rvir(grid, centers, rgtp, thr, k0_cap=256, fused=False)
+    fused = solve_rvir(grid, centers, rgtp, thr, k0_cap=256, fused=True)
+    np.testing.assert_array_equal(fused.code, classic.code)
+    np.testing.assert_array_equal(fused.j, classic.j)
+    np.testing.assert_array_equal(fused.mvir, classic.mvir)
+    np.testing.assert_array_equal(fused.rvir, classic.rvir)
+    np.testing.assert_array_equal(fused.d2cut, classic.d2cut)
+    assert (classic.code == 0).sum() >= 3

@@ -342,7 +342,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                thr: float, n_members: int = 8,
                k0_cap: int = 4096, s_max: int = 11,
                slot_budget: int = 1 << 26,
-               progress=None, stage_fn=None, fused=None) -> SolveResult:
+               progress=None, stage_fn=None, fused=None,
+               fused_b2: int = 256) -> SolveResult:
     """Solve R_Delta for every halo (batched, staged capacity escalation).
 
     ``stage_fn(level, K, S, n_members, centers, radii, thr)`` overrides the
@@ -471,7 +472,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         live = np.nonzero(~resolved)[0]
         K = int(min(k0_cap, _k_limit(grid, s_max)))
         K2 = int(min(K_SLAB_MAX, _k_limit(grid, s_max), 8 * K))
-        B2 = 256
+        B2 = fused_b2   # tier-2 rows per dispatch; halos beyond this
+        #                 spill into the classic escalation rounds
         k_eff = np.minimum(cur_k[live], kmax[live])
         radii = ladder_radius(rgtp[live], k_eff)
         level, S = _pick_level_span(grid, float(radii.max()), s_max)

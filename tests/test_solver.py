@@ -144,3 +144,30 @@ def test_fused_round_matches_classic():
     np.testing.assert_array_equal(fused.rvir, classic.rvir)
     np.testing.assert_array_equal(fused.d2cut, classic.d2cut)
     assert (classic.code == 0).sum() >= 3
+
+
+def test_fused_spill_falls_back_to_classic():
+    """More halos need tier 2 than the fused pass has rows (fused_b2=1):
+    the spilled halos must be picked up by the classic escalation rounds
+    with identical results."""
+    rng = np.random.default_rng(29)
+    clumps = [
+        dict(center=(0.1, 0.0, 0.0), n=600, rmax=0.05, mass_total=0.25),
+        dict(center=(-0.3, 0.2, 0.1), n=500, rmax=0.05, mass_total=0.2),
+        dict(center=(0.3, -0.3, -0.2), n=400, rmax=0.05, mass_total=0.15),
+    ]
+    data = make_clumpy_box(rng, n_background=1000, clumps=clumps)
+    grid = build_grid(data["pos"], data["mass"], vel=data["vel"], m=2,
+                      pallas=True)
+    centers = np.array([c["center"] for c in clumps], np.float32)
+    rgtp = np.full(3, 0.05, np.float32)
+    thr = 178.0
+
+    classic = solve_rvir(grid, centers, rgtp, thr, k0_cap=256, fused=False)
+    spilled = solve_rvir(grid, centers, rgtp, thr, k0_cap=256, fused=True,
+                         fused_b2=1)
+    np.testing.assert_array_equal(spilled.code, classic.code)
+    np.testing.assert_array_equal(spilled.j, classic.j)
+    np.testing.assert_array_equal(spilled.mvir, classic.mvir)
+    np.testing.assert_array_equal(spilled.rvir, classic.rvir)
+    assert (classic.code == 0).all()

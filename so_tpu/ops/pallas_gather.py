@@ -36,7 +36,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 256          # slab DMA chunk (rows); also the tail pad of the SoA
-HPP = 4              # halos per grid program (amortizes per-step overhead)
+HPP = 8              # halos per grid program: 4 -> 8 gained 9% on v5e
+#                      (fewer program switches); 16 regressed (VMEM window
+#                      pressure) — measured on the 2M-particle bench
 NBUF = 8             # DMA ring depth: per-chunk compute (~100 ns) is far
 #                      below DMA latency (~1 us), so the pipeline must keep
 #                      several transfers in flight to stay bandwidth-bound

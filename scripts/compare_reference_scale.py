@@ -55,7 +55,7 @@ def main(n_particles=2 ** 21, n_halos=4096):
         with open(f"{work}/snap.bin", "rb") as snap:
             r = subprocess.run([so_bin, "-i", f"{work}/cat.gtp", "-o",
                                 f"{work}/ref", "-grp", "-gtp"],
-                               stdin=snap, capture_output=True, text=True)
+                               stdin=snap, capture_output=True, text=True, cwd=work)
         ref_wall = time.perf_counter() - t0
     assert r.returncode == 0, r.stderr[-2000:]
     m = re.search(r"SO CPU Time:\s+([0-9.]+)", r.stderr)

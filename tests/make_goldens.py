@@ -40,7 +40,10 @@ def main(argv):
             args = generate_inputs(name, workdir)
             cmd = [so_bin, "-i", f"{workdir}/cat.gtp", "-o", f"{workdir}/ref"] + args
             with open(f"{workdir}/snap.bin", "rb") as snap:
-                r = subprocess.run(cmd, stdin=snap, capture_output=True, text=True)
+                # cwd=workdir: the reference's -mark strcpy overflow writes
+                # a stray file literally named "d" into the cwd
+                r = subprocess.run(cmd, stdin=snap, capture_output=True,
+                                   text=True, cwd=workdir)
             if r.returncode != 0:
                 print(f"FAILED {name}: {r.stderr[-2000:]}")
                 continue

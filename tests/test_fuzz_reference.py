@@ -57,7 +57,8 @@ def test_fuzz_random_boxes(so_bin, seed, tmp_path):
     with open(f"{work}/snap.bin", "rb") as snap:
         r = subprocess.run([so_bin, "-i", f"{work}/cat.gtp", "-o",
                             f"{work}/ref"] + args,
-                           stdin=snap, capture_output=True, text=True)
+                           stdin=snap, capture_output=True, text=True,
+                           cwd=work)
     assert r.returncode == 0, r.stderr[-1500:]
 
     from so_tpu.cli import main

@@ -167,7 +167,6 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
     centers = np.asarray(centers, np.float32)
     rvir = np.asarray(rvir, np.float32)
     mvir = np.asarray(mvir, np.float32)
-    npart = grid.n
     grav32 = jnp.float32(grav)
 
     # capacity estimate: interior count scales ~8x from Rvir to 2 Rvir;

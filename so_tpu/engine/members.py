@@ -25,7 +25,6 @@ from ..ops.grid import CellGrid
 @partial(jax.jit, static_argnames=("level", "K", "S"))
 def _members_stage(grid: CellGrid, level: int, K: int, S: int,
                    centers, cover_r, d2cut, j, mvir):
-    B = centers.shape[0]
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     interior = slot < j[:, None]
     if grid.soa8t is not None:
@@ -83,7 +82,6 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     cover = np.sqrt(d2cut.astype(np.float64)).astype(np.float32)
     cover = np.nextafter(cover, np.float32(np.inf)) * np.float32(1.0 + 1e-6)
 
-    npart = grid.n
     # slab footprints are CHUNK-aligned per merged run — budget extra slots
     # up front so the first capacity tier usually lands (each escalation
     # tier is another multi-minute remote kernel compile)

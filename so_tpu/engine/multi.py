@@ -92,7 +92,6 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
     cur_cap = np.full(G, k0_cap, np.int64)
     minus1_open = np.ones(G, bool)
     DK = 8
-    npart = grid.n
     guard = 0
     while not resolved.all():
         guard += 1

@@ -51,7 +51,6 @@ def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     out = centers.copy()
     todo = np.arange(G)
     capacity = k0_cap
-    npart = grid.n
     while todo.size:
         K = int(min(capacity, _k_limit(grid, s_max)))
         radii = radii_all[todo]

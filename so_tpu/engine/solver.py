@@ -528,7 +528,6 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             apply_round(part[ids_l], ints2, flts2,
                         k_eff[lo:lo + chunk][ids_l] + steps[ok2], K2)
 
-    npart = grid.n
     guard = 0
     while not resolved.all():
         guard += 1

@@ -116,3 +116,45 @@ def test_conflicts_error_groups_never_tag():
                            np.asarray([-1], np.int32), np.array([0]),
                            [None], 5)
     assert (st.igrp == 0).all()
+
+
+def test_catalog_order_invariance():
+    """Permuting the input catalog must not change any per-halo result —
+    processing is by ascending GTP mass (kdSortMass, kd2.c:843-861), so
+    file order only controls output row order. Property test from
+    SURVEY.md section 4 item 3."""
+    rng = np.random.default_rng(31)
+    clumps = [
+        dict(center=(0.1, 0.0, 0.0), n=1500, rmax=0.06, mass_total=0.2),
+        dict(center=(0.14, 0.02, 0.0), n=700, rmax=0.04, mass_total=0.06),
+        dict(center=(-0.3, 0.25, 0.1), n=900, rmax=0.05, mass_total=0.1),
+    ]
+    data = make_clumpy_box(rng, n_background=4000, clumps=clumps)
+    ps = _particle_set(data)
+    centers = np.array([c["center"] for c in clumps]
+                       + [[0.4, -0.4, 0.3]], np.float32)
+    rgtp = np.array([0.05, 0.035, 0.045, 0.03], np.float32)
+    masses = np.array([0.2, 0.06, 0.1, 0.01], np.float32)  # distinct
+
+    base = run_so(ps, _catalog(centers, rgtp, masses),
+                  SOParams(threshold=178.0, species=(DARK,)))
+    perm = np.array([2, 0, 3, 1])
+    shuf = run_so(ps, _catalog(centers[perm], rgtp[perm], masses[perm]),
+                  SOParams(threshold=178.0, species=(DARK,)))
+
+    # halo renumbering: original 1-based index -> shuffled 1-based index
+    remap = np.zeros(len(perm) + 1, np.int64)
+    remap[perm + 1] = np.arange(1, len(perm) + 1)
+
+    np.testing.assert_array_equal(shuf.solve.code, base.solve.code[perm])
+    np.testing.assert_array_equal(shuf.mvir, base.mvir[perm])
+    # the -10*index subsume/slurp marker encodes the SUBSUMER's catalog
+    # index (kdZeroGroup, kd2.c:633-634) — remap it before comparing
+    rv = base.rvir[perm].copy()
+    marked = rv <= -10.0
+    rv[marked] = -10.0 * remap[(-rv[marked] / 10.0).astype(np.int64)]
+    np.testing.assert_array_equal(shuf.rvir, rv)
+    np.testing.assert_array_equal(shuf.derived.vcirc, base.derived.vcirc[perm])
+    # per-particle ownership maps through the halo renumbering
+    np.testing.assert_array_equal(shuf.conflicts.igrp,
+                                  remap[base.conflicts.igrp])

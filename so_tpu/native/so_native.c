@@ -167,11 +167,33 @@ int so_conflict_pass(
 /* Fast "%d\n" array writer (kdWriteArray format, kd2.c:1244-1264). */
 int so_write_int_array(const char *path, const int32_t *vals, int64_t n)
 {
+    /* manual integer formatting: ~5x fprintf("%d\n") — a 1024^3 .sogrp
+     * is a billion lines, where the formatter IS the write time */
     FILE *fp = fopen(path, "w");
     if (!fp) return -1;
-    char buf[1 << 16];
-    setvbuf(fp, buf, _IOFBF, sizeof buf);
-    fprintf(fp, "%lld\n", (long long)n);
-    for (int64_t i = 0; i < n; ++i) fprintf(fp, "%d\n", vals[i]);
-    return fclose(fp);
+    enum { CAP = 1 << 20 };
+    char *buf = malloc(CAP);
+    if (!buf) { fclose(fp); return -2; }
+    char *p = buf;
+    p += sprintf(p, "%lld\n", (long long)n);
+    for (int64_t i = 0; i < n; ++i) {
+        if (p - buf > CAP - 16) {
+            if (fwrite(buf, 1, (size_t)(p - buf), fp) != (size_t)(p - buf)) {
+                free(buf); fclose(fp); return -3;
+            }
+            p = buf;
+        }
+        int64_t v = vals[i];
+        uint64_t u = v < 0 ? (*p++ = '-', (uint64_t)(-v)) : (uint64_t)v;
+        char tmp[12];
+        int k = 0;
+        do { tmp[k++] = (char)('0' + (u % 10)); u /= 10; } while (u);
+        while (k) *p++ = tmp[--k];
+        *p++ = '\n';
+    }
+    int rc = 0;
+    if (p != buf && fwrite(buf, 1, (size_t)(p - buf), fp) != (size_t)(p - buf))
+        rc = -3;
+    free(buf);
+    return fclose(fp) ? -4 : rc;
 }

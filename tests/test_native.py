@@ -58,7 +58,7 @@ def test_native_matches_python(seed):
 
 
 def test_native_int_array_writer(tmp_path):
-    vals = np.array([0, 3, -1, 2 ** 31 - 1], np.int32)
+    vals = np.array([0, 3, -1, 2 ** 31 - 1, -2 ** 31], np.int32)
     p = str(tmp_path / "arr.txt")
     assert write_int_array_native(p, vals)
-    assert open(p).read() == "4\n0\n3\n-1\n2147483647\n"
+    assert open(p).read() == "5\n0\n3\n-1\n2147483647\n-2147483648\n"

@@ -22,8 +22,24 @@ from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
 
 
-@partial(jax.jit, static_argnames=("level", "K", "S"))
-def _members_stage(grid: CellGrid, level: int, K: int, S: int,
+def _pack_rows(orig, cap: int):
+    """Compact the valid member rows of the (B, K) slot matrix into one
+    dense vector, preserving (halo, ascending-distance) order. Fetching
+    B*K slots over a ~25 MB/s remote-device tunnel dominated the whole
+    pipeline (e.g. 268 MB for a 4096x16384 stage); the compacted fetch is
+    ~sum(j) entries. ``cap`` is a static power-of-two >= total valid."""
+    B, K = orig.shape
+    flat = orig.reshape(-1)
+    ok = flat >= 0
+    key = jnp.where(ok, jnp.arange(flat.shape[0], dtype=jnp.int32),
+                    jnp.int32(1 << 30))
+    _, packed = jax.lax.sort((key, flat), num_keys=1, is_stable=False)
+    counts = ok.reshape(B, K).sum(axis=1).astype(jnp.int32)
+    return packed[:cap], counts
+
+
+@partial(jax.jit, static_argnames=("level", "K", "S", "cap"))
+def _members_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
                    centers, cover_r, d2cut, j, mvir):
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     interior = slot < j[:, None]
@@ -35,28 +51,34 @@ def _members_stage(grid: CellGrid, level: int, K: int, S: int,
         orig = jnp.where(srow >= 0, grid.orig_idx[jnp.maximum(srow, 0)], -1)
         vcm = jnp.where(interior[:, :, None], mv_s, 0.0).sum(axis=1) \
             / mvir[:, None]
-        return orig, vcm, g.n_in, g.overflow
-    g = ragged_ball_gather(grid, level, centers, cover_r, d2cut, K, S,
-                           sort=True)
-    valid = jnp.isfinite(g.d2)
-    orig = jnp.where(valid & interior, grid.orig_idx[g.idx], -1)
-    w = jnp.where(valid & interior, grid.mass[g.idx], 0.0)
-    vcm = (w[:, :, None] * grid.vel[g.idx]).sum(axis=1) / mvir[:, None]
-    return orig, vcm, g.n_in, g.overflow
+    else:
+        g = ragged_ball_gather(grid, level, centers, cover_r, d2cut, K, S,
+                               sort=True)
+        valid = jnp.isfinite(g.d2)
+        orig = jnp.where(valid & interior, grid.orig_idx[g.idx], -1)
+        w = jnp.where(valid & interior, grid.mass[g.idx], 0.0)
+        vcm = (w[:, :, None] * grid.vel[g.idx]).sum(axis=1) / mvir[:, None]
+    packed, counts = _pack_rows(orig, cap)
+    return packed, counts, vcm, g.n_in, g.overflow
 
 
 def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                     j: np.ndarray, mvir: np.ndarray, s_max: int = 11,
-                    slot_budget: int = 1 << 25, stage_fn=None):
+                    slot_budget: int = 1 << 25, stage_fn=None,
+                    cap_hint=None):
     """Per solved halo: sorted interior original-index list (length j) and
     the group mean velocity.
 
-    Capacity is sized from the known interior count j; ties at the d2cut
-    boundary may gather a few extra hits, which are truncated to j exactly
-    as the reference's walk stops at j (kd2.c:663-670).
+    ``cap_hint`` (SolveResult.kcap) sizes each halo's gather from the
+    capacity that resolved it — the member re-gather happens at a radius
+    <= the resolving stage's, so its footprint can only be smaller and the
+    first tier is guaranteed to land. Without a hint, capacity is sized
+    from the interior count j. Ties at the d2cut boundary may gather a few
+    extra hits, which are truncated to j exactly as the reference's walk
+    stops at j (kd2.c:663-670).
 
-    ``stage_fn(level, K, S, centers, cover_r, d2cut, j, mvir)`` overrides
-    the single-device stage — the multi-device path
+    ``stage_fn(level, K, S, cap, centers, cover_r, d2cut, j, mvir)``
+    overrides the single-device stage — the multi-device path
     (parallel.mesh.extract_members_sharded) injects its shard_map stage
     here and reuses this escalation driver unchanged.
     """
@@ -64,8 +86,13 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                          _stage_grid)
 
     if stage_fn is None:
+        # the 6-channel member gather (d2 + m*v + split idx) has a smaller
+        # VMEM-safe slab capacity than the 2-channel solve stage: the out
+        # window is HPP*6*(K+CHUNK)*4B double-buffered (16 MB scoped VMEM)
+        K_MEMBERS_SLAB_MAX = 1 << 14
         stage_fn = lambda level, K, S, *a: _members_stage(
-            _stage_grid(grid, K), level, K, S, *a)
+            _stage_grid(grid, K if K <= K_MEMBERS_SLAB_MAX else (1 << 30)),
+            level, K, S, *a)
 
     if getattr(grid, "soa8t", None) is not None:
         s_max = min(s_max, 7)
@@ -82,14 +109,18 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     cover = np.sqrt(d2cut.astype(np.float64)).astype(np.float32)
     cover = np.nextafter(cover, np.float32(np.inf)) * np.float32(1.0 + 1e-6)
 
-    # slab footprints are CHUNK-aligned per merged run — budget extra slots
-    # up front so the first capacity tier usually lands (each escalation
-    # tier is another multi-minute remote kernel compile)
-    pad0 = 8192 if getattr(grid, "soa8t", None) is not None else 512
-    # power-of-4 tiers: every (K, level, S) combination is its own (slow,
-    # remote) kernel compile, so fewer tiers beats tighter capacities
-    need_cap = np.maximum(4 ** np.ceil(np.log2(np.maximum(j * 2 + pad0, 512))
-                                       / 2).astype(np.int64), 512)
+    if cap_hint is not None:
+        need_cap = np.maximum(np.asarray(cap_hint, np.int64), 512)
+    else:
+        # slab footprints are CHUNK-aligned per merged run — budget extra
+        # slots up front so the first capacity tier usually lands (each
+        # escalation tier is another multi-minute remote kernel compile)
+        pad0 = 8192 if getattr(grid, "soa8t", None) is not None else 512
+        # power-of-4 tiers: every (K, level, S) combination is its own
+        # (slow, remote) kernel compile; fewer tiers beats tight capacities
+        need_cap = np.maximum(
+            4 ** np.ceil(np.log2(np.maximum(j * 2 + pad0, 512))
+                         / 2).astype(np.int64), 512)
     todo = np.arange(G)
     guard = 0
     while todo.size:
@@ -115,27 +146,44 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                 d_pad[:part.size] = d2cut[part]
                 j_pad[:part.size] = j[part]
                 m_pad[:part.size] = mvir[part]
+                # static fetch capacity: the packed member vector holds at
+                # most sum(j) + tie slack entries (power-of-two buckets
+                # bound the compile-variant count)
+                cap = 1 << int(np.ceil(np.log2(
+                    max(int(j[part].sum()) + 8 * part.size, 1024))))
+                cap = int(min(cap, B * K))
                 import os, sys
                 if os.environ.get("SO_TPU_DEBUG"):
                     print(f"so_tpu[members]: stage B={B} K={K} S={S} "
-                          f"level={level} n={part.size}",
+                          f"level={level} n={part.size} cap={cap}",
                           file=sys.stderr, flush=True)
-                orig, vc, n_in, ovf = stage_fn(
-                    level, K, S, jnp.asarray(c_pad),
+                packed, counts, vc, n_in, ovf = stage_fn(
+                    level, K, S, cap, jnp.asarray(c_pad),
                     jnp.asarray(r_pad), jnp.asarray(d_pad),
                     jnp.asarray(j_pad), jnp.asarray(m_pad))
-                orig = np.asarray(orig)[:part.size]
+                counts = np.asarray(counts)
+                total = int(counts.sum())
+                if total > cap:
+                    # tie inflation beyond the slack: re-run this chunk
+                    # with doubled capacities (rare; ties are float32-exact
+                    # distance collisions at the d2cut boundary)
+                    need_cap[part] = np.minimum(need_cap[part] * 4,
+                                                2 * _k_limit(grid, s_max))
+                    next_todo.extend(part)
+                    continue
+                packed = np.asarray(packed)
                 vc = np.asarray(vc)[:part.size]
                 ovf = np.asarray(ovf)[:part.size]
+                seg = np.cumsum(counts)
                 for i, h in enumerate(part):
                     if ovf[i]:
                         need_cap[h] = min(need_cap[h] * 4,
                                           2 * _k_limit(grid, s_max))
                         next_todo.append(h)
                     else:
-                        lst = orig[i]
-                        lst = lst[lst >= 0][: j[h]]
-                        out[h] = lst.astype(np.int64)
+                        lo_i = seg[i - 1] if i else 0
+                        out[h] = packed[lo_i:lo_i + min(counts[i], j[h])] \
+                            .astype(np.int64)
                         vcm[h] = vc[i]
         todo = np.asarray(next_todo, np.int64)
     return out, vcm

@@ -177,7 +177,8 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
         with timer.phase("member extraction"):
             members_ok, vcm_ok = extract_members(
                 grid, centers[ok], solve.d2cut[ok], solve.j[ok],
-                solve.mvir[ok])
+                solve.mvir[ok],
+                cap_hint=(solve.kcap[ok] if solve.kcap is not None else None))
             members = [None] * catalog.n
             for slot, h in enumerate(np.nonzero(ok)[0]):
                 members[h] = members_ok[slot]

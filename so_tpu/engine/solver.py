@@ -254,6 +254,11 @@ class SolveResult:
     j: np.ndarray       # (G,) i32: interior particle count
     d2cut: np.ndarray   # (G,) f32: d2 of the (j-1)-th sorted particle
     vcm: np.ndarray     # (G,3) f32: mass-weighted mean velocity of interior
+    kcap: np.ndarray | None = None  # (G,) i64: gather capacity of the
+    #                     resolving stage — a sufficient capacity for any
+    #                     re-gather at radius <= that stage's radius
+    #                     (footprints are monotone in radius), used to size
+    #                     the member/derived passes without escalation
 
 
 # beyond this capacity the slab kernel output window would not fit in
@@ -382,6 +387,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     jout = np.zeros(G, np.int32)
     d2cut = np.zeros(G, np.float32)
     vcm = np.zeros((G, 3), np.float32)
+    kcap = np.full(G, k0_cap, np.int64)
     resolved = np.zeros(G, bool)
 
     kmax, _cap = rvir_ladder(rgtp, period)
@@ -437,6 +443,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         code[idx] = -2; mvir[idx] = -2.0; rvir[idx] = -2.0; resolved[idx] = True
         idx = part[is_m3]
         code[idx] = -3; mvir[idx] = -3.0; rvir[idx] = -3.0; resolved[idx] = True
+        kcap[part] = np.maximum(kcap[part], int(cap_now))
         idx = part[is_succ]
         code[idx] = 0
         mvir[idx] = o_mvir[is_succ]
@@ -568,4 +575,4 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                           file=sys.stderr, flush=True)
                 apply_round(part, ints, flts, k_eff[lo:lo + chunk], K)
     return SolveResult(code=code, mvir=mvir, rvir=rvir, j=jout, d2cut=d2cut,
-                       vcm=vcm)
+                       vcm=vcm, kcap=kcap)

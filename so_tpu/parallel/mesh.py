@@ -350,10 +350,13 @@ def members_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
 def sharded_members_fn(mesh: Mesh, sgrid: ShardedGrid):
     """Adapter with the same signature as engine.members._members_stage
     (minus the grid argument), for reuse of the host-side escalation
-    driver via extract_members(stage_fn=...)."""
+    driver via extract_members(stage_fn=...). Packing to the dense member
+    vector happens host-side here: on locally-attached multi-chip meshes
+    the (B, K) fetch is cheap, unlike the remote-tunnel single-chip case
+    the device-side _pack_rows optimizes."""
     n_halo = mesh.shape["halo"]
 
-    def stage(level, K, S, centers, cover_r, d2cut, j, mvir):
+    def stage(level, K, S, cap, centers, cover_r, d2cut, j, mvir):
         B = centers.shape[0]
         pad = (-B) % n_halo
         if pad:
@@ -364,11 +367,13 @@ def sharded_members_fn(mesh: Mesh, sgrid: ShardedGrid):
             d2cut = zf(d2cut, 0.0)
             j = zf(j, 0)
             mvir = zf(mvir, 1.0)
-        out = members_stage_sharded(mesh, sgrid, level, K, S, centers,
-                                    cover_r, d2cut, j, mvir)
-        if pad:
-            out = tuple(v[:B] for v in out)
-        return out
+        orig, vcm, n_in, ovf = members_stage_sharded(
+            mesh, sgrid, level, K, S, centers, cover_r, d2cut, j, mvir)
+        orig = np.asarray(orig)[:B]
+        valid = orig >= 0
+        counts = valid.sum(axis=1).astype(np.int32)
+        packed = orig[valid]          # row-major: (halo, distance) order
+        return packed, counts, vcm[:B], n_in[:B], ovf[:B]
 
     return stage
 

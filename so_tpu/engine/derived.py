@@ -201,8 +201,12 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                     print(f"so_tpu[derived]: stage B={B} K={K} S={S} "
                           f"level={level} n={part.size}",
                           file=sys.stderr, flush=True)
-                o = _derived_stage(_stage_grid(grid, K), level, K, S,
-                                   n_members, species,
+                # 3-channel gathers (d2, mass, meta) fit the slab
+                # kernel's VMEM window up to K=2^16 (the global
+                # K_SLAB_MAX=2^15 is sized for wider stages)
+                o = _derived_stage(_stage_grid(grid, K if K <= (1 << 16)
+                                               else (1 << 30)),
+                                   level, K, S, n_members, species,
                                    jnp.asarray(c_pad), jnp.asarray(r_pad),
                                    jnp.asarray(m_pad), grav32)
                 ovf = np.asarray(o["overflow"])[:part.size]

@@ -86,6 +86,10 @@ def run_so(particles: ParticleSet, catalog: GroupCatalog, params: SOParams,
                     phi=particles.phi, ptype=particles.ptype_all(),
                     mark=(particles.mark if particles.mark is not None else None),
                     period=params.period, center=params.center, m=params.grid_m)
+                # drain the async build before the phase ends so the solve
+                # phase is not charged for it in the timing report
+                import jax
+                jax.block_until_ready(grid.pos)
 
         centers = np.asarray(catalog.pos, np.float32).copy()
         rgtp = np.asarray(catalog.rgtp, np.float32)

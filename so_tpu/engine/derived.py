@@ -138,8 +138,13 @@ def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
         n_in, overflow = g.n_in, g.overflow
     out = derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir,
                               mvir, fball, n_members, species, grav)
-    out.update(overflow=overflow)
-    return out
+    # one fetch-friendly (B, 13 + 16*nspecies) f32 block — each separate
+    # np.asarray costs a ~25 ms round-trip over a remote-device tunnel:
+    # [overflow, vcirc(8), rmass(2), rmax, vmax, profiles(16)...]
+    return jnp.concatenate(
+        [overflow.astype(jnp.float32)[:, None], out["vcirc"], out["rmass"],
+         out["rmax"][:, None], out["vmax"][:, None]]
+        + [out["profiles"][sp] for sp in species], axis=1)
 
 
 def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
@@ -197,10 +202,8 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                 r_pad[:part.size] = rvir[part]
                 m_pad[:part.size] = mvir[part]
                 import os, sys
-                if os.environ.get("SO_TPU_DEBUG"):
-                    print(f"so_tpu[derived]: stage B={B} K={K} S={S} "
-                          f"level={level} n={part.size}",
-                          file=sys.stderr, flush=True)
+                from time import perf_counter as _pc
+                t0 = _pc() if os.environ.get("SO_TPU_DEBUG") else 0.0
                 # 3-channel gathers (d2, mass, meta) fit the slab
                 # kernel's VMEM window up to K=2^16 (the global
                 # K_SLAB_MAX=2^15 is sized for wider stages)
@@ -209,15 +212,21 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                                    level, K, S, n_members, species,
                                    jnp.asarray(c_pad), jnp.asarray(r_pad),
                                    jnp.asarray(m_pad), grav32)
-                ovf = np.asarray(o["overflow"])[:part.size]
+                o = np.asarray(o)[:part.size]
+                if os.environ.get("SO_TPU_DEBUG"):
+                    print(f"so_tpu[derived]: stage B={B} K={K} S={S} "
+                          f"level={level} n={part.size} "
+                          f"dt={(_pc() - t0) * 1e3:.1f}ms",
+                          file=sys.stderr, flush=True)
+                ovf = o[:, 0] > 0
                 ok = ~ovf
                 idx = part[ok]
-                out.vcirc[idx] = np.asarray(o["vcirc"])[:part.size][ok]
-                out.rmass[idx] = np.asarray(o["rmass"])[:part.size][ok]
-                out.rmax[idx] = np.asarray(o["rmax"])[:part.size][ok]
-                out.vmax[idx] = np.asarray(o["vmax"])[:part.size][ok]
-                for sp in species:
-                    out.profiles[sp][idx] = np.asarray(o["profiles"][sp])[:part.size][ok]
+                out.vcirc[idx] = o[ok, 1:9]
+                out.rmass[idx] = o[ok, 9:11]
+                out.rmax[idx] = o[ok, 11]
+                out.vmax[idx] = o[ok, 12]
+                for si, sp in enumerate(species):
+                    out.profiles[sp][idx] = o[ok, 13 + 16 * si:29 + 16 * si]
                 bad = part[~ok]
                 need_cap[bad] = np.minimum(need_cap[bad] * 4,
                                             2 * _k_limit(grid, s_max))

@@ -153,10 +153,9 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                     max(int(j[part].sum()) + 8 * part.size, 1024))))
                 cap = int(min(cap, B * K))
                 import os, sys
-                if os.environ.get("SO_TPU_DEBUG"):
-                    print(f"so_tpu[members]: stage B={B} K={K} S={S} "
-                          f"level={level} n={part.size} cap={cap}",
-                          file=sys.stderr, flush=True)
+                from time import perf_counter as _pc
+                dbg = os.environ.get("SO_TPU_DEBUG")
+                t0 = _pc() if dbg else 0.0
                 packed, counts, vc, n_in, ovf = stage_fn(
                     level, K, S, cap, jnp.asarray(c_pad),
                     jnp.asarray(r_pad), jnp.asarray(d_pad),
@@ -174,6 +173,11 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                 packed = np.asarray(packed)
                 vc = np.asarray(vc)[:part.size]
                 ovf = np.asarray(ovf)[:part.size]
+                if dbg:
+                    print(f"so_tpu[members]: stage B={B} K={K} S={S} "
+                          f"level={level} n={part.size} cap={cap} "
+                          f"dt={(_pc() - t0) * 1e3:.1f}ms",
+                          file=sys.stderr, flush=True)
                 seg = np.cumsum(counts)
                 for i, h in enumerate(part):
                     if ovf[i]:

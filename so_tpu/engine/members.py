@@ -38,26 +38,37 @@ def _pack_rows(orig, cap: int):
     return packed[:cap], counts
 
 
-@partial(jax.jit, static_argnames=("level", "K", "S", "cap"))
+@partial(jax.jit, static_argnames=("level", "K", "S", "cap", "with_mv"))
 def _members_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
-                   centers, cover_r, d2cut, j, mvir):
+                   centers, cover_r, d2cut, j, mvir, with_mv: bool = True):
+    """``with_mv=False`` skips the m*v channels (vcm is then computed on
+    the host from the member lists) — the gather sort drops from 6 to 3
+    operands and the slab kernel's VMEM window fits K=2^16."""
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     interior = slot < j[:, None]
     if grid.soa8t is not None:
+        chans = ("mv", "idx") if with_mv else ("idx",)
         g = slab_gather(grid, level, centers, cover_r, d2cut, K, S,
-                        channels=("mv", "idx"))
-        mv_s, idx_s = g.channels
+                        channels=chans)
+        idx_s = g.channels[-1]
         srow = jnp.where(interior, idx_s, -1)
         orig = jnp.where(srow >= 0, grid.orig_idx[jnp.maximum(srow, 0)], -1)
-        vcm = jnp.where(interior[:, :, None], mv_s, 0.0).sum(axis=1) \
-            / mvir[:, None]
+        if with_mv:
+            vcm = jnp.where(interior[:, :, None], g.channels[0], 0.0) \
+                .sum(axis=1) / mvir[:, None]
+        else:
+            vcm = jnp.zeros((centers.shape[0], 3), jnp.float32)
     else:
         g = ragged_ball_gather(grid, level, centers, cover_r, d2cut, K, S,
                                sort=True)
         valid = jnp.isfinite(g.d2)
         orig = jnp.where(valid & interior, grid.orig_idx[g.idx], -1)
-        w = jnp.where(valid & interior, grid.mass[g.idx], 0.0)
-        vcm = (w[:, :, None] * grid.vel[g.idx]).sum(axis=1) / mvir[:, None]
+        if with_mv:
+            w = jnp.where(valid & interior, grid.mass[g.idx], 0.0)
+            vcm = (w[:, :, None] * grid.vel[g.idx]).sum(axis=1) \
+                / mvir[:, None]
+        else:
+            vcm = jnp.zeros((centers.shape[0], 3), jnp.float32)
     packed, counts = _pack_rows(orig, cap)
     return packed, counts, vcm, g.n_in, g.overflow
 
@@ -65,7 +76,7 @@ def _members_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
 def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                     j: np.ndarray, mvir: np.ndarray, s_max: int = 11,
                     slot_budget: int = 1 << 25, stage_fn=None,
-                    cap_hint=None):
+                    cap_hint=None, host_mv=None):
     """Per solved halo: sorted interior original-index list (length j) and
     the group mean velocity.
 
@@ -85,14 +96,22 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     from .solver import (_chunk_for, _k_limit, _pad_b, _pick_level_span, _pad_to_bucket,
                          _stage_grid)
 
+    use_host_vcm = host_mv is not None and stage_fn is None
     if stage_fn is None:
-        # the 6-channel member gather (d2 + m*v + split idx) has a smaller
-        # VMEM-safe slab capacity than the 2-channel solve stage: the out
-        # window is HPP*6*(K+CHUNK)*4B double-buffered (16 MB scoped VMEM)
-        K_MEMBERS_SLAB_MAX = 1 << 14
-        stage_fn = lambda level, K, S, *a: _members_stage(
-            _stage_grid(grid, K if K <= K_MEMBERS_SLAB_MAX else (1 << 30)),
-            level, K, S, *a)
+        if use_host_vcm:
+            # 3-operand gather (d2 + split idx): slab VMEM fits K=2^16
+            stage_fn = lambda level, K, S, *a: _members_stage(
+                _stage_grid(grid, K if K <= (1 << 16) else (1 << 30)),
+                level, K, S, *a, with_mv=False)
+        else:
+            # the 6-channel member gather (d2 + m*v + split idx) has a
+            # smaller VMEM-safe slab capacity than the 2-channel solve
+            # stage: the out window is HPP*6*(K+CHUNK)*4B double-buffered
+            # against the 16 MB scoped VMEM limit
+            K_MEMBERS_SLAB_MAX = 1 << 14
+            stage_fn = lambda level, K, S, *a: _members_stage(
+                _stage_grid(grid, K if K <= K_MEMBERS_SLAB_MAX
+                            else (1 << 30)), level, K, S, *a)
 
     if getattr(grid, "soa8t", None) is not None:
         s_max = min(s_max, 7)
@@ -190,4 +209,11 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
                             .astype(np.int64)
                         vcm[h] = vc[i]
         todo = np.asarray(next_todo, np.int64)
+    if use_host_vcm:
+        # group mean velocity from the member lists (_VcmParticles,
+        # kd2.c:595-609): mass-weighted mean over the j interior rows
+        mvh = np.asarray(host_mv, np.float32)     # (n_particles, 3) m*v
+        for h, lst in enumerate(out):
+            if lst is not None and lst.size:
+                vcm[h] = mvh[lst].sum(axis=0, dtype=np.float32) / mvir[h]
     return out, vcm

@@ -182,7 +182,8 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
             members_ok, vcm_ok = extract_members(
                 grid, centers[ok], solve.d2cut[ok], solve.j[ok],
                 solve.mvir[ok],
-                cap_hint=(solve.kcap[ok] if solve.kcap is not None else None))
+                cap_hint=(solve.kcap[ok] if solve.kcap is not None else None),
+                host_mv=particles.vel * particles.mass[:, None])
             members = [None] * catalog.n
             for slot, h in enumerate(np.nonzero(ok)[0]):
                 members[h] = members_ok[slot]

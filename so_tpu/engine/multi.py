@@ -54,11 +54,18 @@ def _multi_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
 
     outs = [scan_sorted(d2_s, mass_s, None, n_in, thresholds[t], n_members)
             for t in range(T)]
-    ints = jnp.stack([jnp.stack([o["found"].astype(jnp.int32),
-                                 o["jstar"]], axis=1) for o in outs])  # (T,B,2)
-    flts = jnp.stack([jnp.stack([o["mvir"], o["rvir"], o["d2cut"]], axis=1)
-                      for o in outs])                                  # (T,B,3)
-    return n_in, ovf, ints, flts
+    bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    # one fetch-friendly (T+1, B, 5) i32 block: rows [:T] are per-threshold
+    # [found, jstar, mvir_bits, rvir_bits, d2cut_bits]; row T carries the
+    # threshold-independent [n_in, overflow, 0, 0, 0]
+    per_t = jnp.stack([jnp.stack(
+        [o["found"].astype(jnp.int32), o["jstar"],
+         bc(o["mvir"]), bc(o["rvir"]), bc(o["d2cut"])], axis=1)
+        for o in outs])
+    tail = jnp.stack([n_in.astype(jnp.int32), ovf.astype(jnp.int32),
+                      jnp.zeros_like(n_in), jnp.zeros_like(n_in),
+                      jnp.zeros_like(n_in)], axis=1)[None]
+    return jnp.concatenate([per_t, tail], axis=0)
 
 
 def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
@@ -114,15 +121,15 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                 r_pad = np.zeros(B, np.float32)
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = radii[lo:lo + chunk]
-                n_in, ovf, ints, flts = _multi_stage(
+                arr = np.asarray(_multi_stage(
                     _stage_grid(grid, K), level, K, S, n_members, T,
-                    jnp.asarray(c_pad), jnp.asarray(r_pad), thr_dev)
-                n_in = np.asarray(n_in)[:part.size]
-                ovf = np.asarray(ovf)[:part.size]
-                ints = np.asarray(ints)[:, :part.size]
-                flts = np.asarray(flts)[:, :part.size]
-                found = ints[:, :, 0].astype(bool)          # (T, b)
-                jstar = ints[:, :, 1]
+                    jnp.asarray(c_pad), jnp.asarray(r_pad), thr_dev))
+                n_in = arr[T, :part.size, 0]
+                ovf = arr[T, :part.size, 1].astype(bool)
+                found = arr[:T, :part.size, 0].astype(bool)  # (T, b)
+                jstar = arr[:T, :part.size, 1]
+                flts = np.ascontiguousarray(
+                    arr[:T, :part.size, 2:5]).view(np.float32)
 
                 at_cap_k = cur_k[part] >= kmax[part]
                 m1 = minus1_open[part]

@@ -43,3 +43,41 @@ def load_solve(path: str):
         lo, hi = int(mem_off[g]), int(mem_off[g + 1])
         members.append(mem[lo:hi] if (hi > lo or solve.code[g] == 0) else None)
     return solve, members, z["centers"]
+
+
+def save_solve_sharded(path: str, solve: SolveResult, members: list,
+                       centers: np.ndarray, host_id: int | None = None,
+                       num_hosts: int | None = None) -> str:
+    """Per-host checkpoint shard: each host of a multi-host run saves only
+    its contiguous halo slice (parallel.distributed.host_segment) as
+    ``{path}.{host_id}-of-{num_hosts}.npz`` — no host ever materializes
+    the global member table (a 1024^3 run's member lists are ~10^9 rows).
+    Returns the shard path written."""
+    from .parallel.distributed import host_segment
+
+    import jax
+    if num_hosts is None:
+        num_hosts = jax.process_count()
+    if host_id is None:
+        host_id = jax.process_index()
+    lo, cnt = host_segment(len(members), num_hosts, host_id)
+    shard = f"{path}.{host_id}-of-{num_hosts}.npz"
+    sl = slice(lo, lo + cnt)
+    sub = SolveResult(code=solve.code[sl], mvir=solve.mvir[sl],
+                      rvir=solve.rvir[sl], j=solve.j[sl],
+                      d2cut=solve.d2cut[sl], vcm=solve.vcm[sl])
+    save_solve(shard, sub, members[lo:lo + cnt], centers[sl])
+    return shard
+
+
+def load_solve_sharded(path: str, num_hosts: int):
+    """Merge all per-host checkpoint shards back into global arrays."""
+    parts = [load_solve(f"{path}.{h}-of-{num_hosts}.npz")
+             for h in range(num_hosts)]
+    cat = lambda get: np.concatenate([get(p[0]) for p in parts])
+    solve = SolveResult(code=cat(lambda s: s.code), mvir=cat(lambda s: s.mvir),
+                        rvir=cat(lambda s: s.rvir), j=cat(lambda s: s.j),
+                        d2cut=cat(lambda s: s.d2cut), vcm=cat(lambda s: s.vcm))
+    members = [m for p in parts for m in p[1]]
+    centers = np.concatenate([p[2] for p in parts])
+    return solve, members, centers

@@ -43,10 +43,17 @@ class GatherResult(NamedTuple):
     overflow: jnp.ndarray  # (B,)  bool — candidate count exceeded K
 
 
-def min_image(delta, period):
-    """Min-image displacement: the vector analog of the INTERSECT shift
-    selection (kd2.h:154-253). Exact for |delta| < 1.5 * period."""
-    return delta - period * jnp.round(delta / period)
+def min_image(c, p, period):
+    """Min-image displacement with the reference's exact float32
+    association: the shifted center sx = c ± period is computed FIRST and
+    the particle subtracted from it (INTERSECT kd2.h:154-253 then
+    smooth2.c:89-92) — (c − period) − p and (c − p) − period can differ by
+    an ulp, which flips knife-edge particles across ball/bin boundaries.
+    The shift choice uses the round-to-nearest image, identical to the
+    box-based choice for every particle closer than period/2."""
+    d0 = c - p
+    n = jnp.round(d0 / period)
+    return (c - period * n) - p
 
 
 def cell_ranges(grid: CellGrid, level: int, centers, radii, r2_mask, S: int,
@@ -169,7 +176,7 @@ def ragged_ball_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
     gidx = jnp.clip(gidx, 0, n - 1)
 
     p = grid.pos[gidx]                                  # (B,K,3)
-    d = min_image(centers[:, None, :] - p, grid.period[None, None, :])
+    d = min_image(centers[:, None, :], p, grid.period[None, None, :])
     d2 = d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1] + d[..., 2] * d[..., 2]
     valid = slot_ok & (d2 <= r2_mask[:, None])
     n_in = valid.sum(axis=1).astype(jnp.int32)

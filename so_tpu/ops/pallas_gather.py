@@ -148,12 +148,14 @@ def _make_kernel(chans: tuple):
                     dma(slot, t).wait()
                     buf = scratch[slot]
                     src = a0_ref[0, h, t] + t * CHUNK
-                    dx = cx - buf[0:1, :]
-                    dy = cy - buf[1:2, :]
-                    dz = cz - buf[2:3, :]
-                    dx = dx - px * jnp.round(dx / px)
-                    dy = dy - py * jnp.round(dy / py)
-                    dz = dz - pz * jnp.round(dz / pz)
+                    # reference association: shifted center first, then
+                    # subtract the particle (kd2.h INTERSECT + smooth2.c:89)
+                    x = buf[0:1, :]
+                    y = buf[1:2, :]
+                    z = buf[2:3, :]
+                    dx = (cx - px * jnp.round((cx - x) / px)) - x
+                    dy = (cy - py * jnp.round((cy - y) / py)) - y
+                    dz = (cz - pz * jnp.round((cz - z) / pz)) - z
                     d2 = dx * dx + dy * dy + dz * dz          # (1, CHUNK)
                     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
                     row = src + lane                          # source rows

@@ -14,8 +14,12 @@ from so_tpu.ops import build_grid, ragged_ball_gather
 
 
 def brute_force(pos, center, r2, period):
-    d = center[None, :] - pos
-    d = (d - period[None, :] * np.round(d / period[None, :])).astype(np.float32)
+    # reference float32 association: shifted center first, then subtract
+    # the particle (kd2.h INTERSECT + smooth2.c:89-92)
+    d0 = (center[None, :] - pos).astype(np.float32)
+    n = np.round(d0 / period[None, :]).astype(np.float32)
+    sx = (center[None, :] - period[None, :] * n).astype(np.float32)
+    d = (sx - pos).astype(np.float32)
     d2 = d[:, 0] ** 2 + d[:, 1] ** 2 + d[:, 2] ** 2
     return np.sort(d2[d2 <= r2])
 

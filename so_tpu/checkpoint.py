@@ -13,11 +13,46 @@ import numpy as np
 
 from .engine.solver import SolveResult
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+
+
+def _digest_array(h, a) -> None:
+    a = np.ascontiguousarray(a)
+    h.update(repr((a.shape, a.dtype.str)).encode())
+    if a.nbytes > (1 << 20):
+        # big arrays (snapshot-scale): head + tail + exact float64 sum —
+        # O(1) memory, catches truncation, permutation-with-substitution,
+        # and any single-element edit in the sampled spans
+        b = a.reshape(-1).view(np.uint8)
+        h.update(b[: 1 << 19].tobytes())
+        h.update(b[-(1 << 19):].tobytes())
+        if a.dtype.kind == "f":
+            h.update(np.float64(a.astype(np.float64).sum()).tobytes())
+    else:
+        h.update(a.tobytes())
+
+
+def input_digest(particles, centers, rgtp, threshold: float,
+                 n_members: int, period, center) -> str:
+    """Content hash of everything the solve result depends on. Stored in
+    the checkpoint and re-checked on resume: resuming a solve state
+    against a different snapshot/catalog/params would silently produce a
+    garbage catalog otherwise (the solve arrays index into the particle
+    file by original position)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for a in (particles.pos, particles.mass, particles.phi,
+              np.asarray(centers, np.float32), np.asarray(rgtp, np.float32)):
+        _digest_array(h, a)
+    h.update(repr((np.float32(threshold).item(), int(n_members),
+                   tuple(np.asarray(period, np.float32).tolist()),
+                   tuple(np.asarray(center, np.float32).tolist()))).encode())
+    return h.hexdigest()
 
 
 def save_solve(path: str, solve: SolveResult, members: list,
-               centers: np.ndarray) -> None:
+               centers: np.ndarray, digest: str = "") -> None:
     mem_off = np.zeros(len(members) + 1, np.int64)
     for g, m in enumerate(members):
         mem_off[g + 1] = mem_off[g] + (0 if m is None else m.size)
@@ -26,14 +61,21 @@ def save_solve(path: str, solve: SolveResult, members: list,
     np.savez_compressed(
         path, version=FORMAT_VERSION, code=solve.code, mvir=solve.mvir,
         rvir=solve.rvir, j=solve.j, d2cut=solve.d2cut, vcm=solve.vcm,
-        mem_off=mem_off, mem=mem, centers=centers)
+        mem_off=mem_off, mem=mem, centers=centers, digest=digest)
 
 
-def load_solve(path: str):
+def load_solve(path: str, expect_digest: str | None = None):
     z = np.load(path)
     if int(z["version"]) != FORMAT_VERSION:
         raise ValueError(f"checkpoint version {int(z['version'])} != "
                          f"{FORMAT_VERSION}")
+    if expect_digest is not None:
+        stored = str(z["digest"]) if "digest" in z else ""
+        if stored and stored != expect_digest:
+            raise ValueError(
+                f"checkpoint {path} was written for different inputs "
+                f"(snapshot/catalog/params digest {stored[:12]}... != "
+                f"{expect_digest[:12]}...); refusing to resume")
     solve = SolveResult(code=z["code"], mvir=z["mvir"], rvir=z["rvir"],
                         j=z["j"], d2cut=z["d2cut"], vcm=z["vcm"])
     mem_off = z["mem_off"]
@@ -47,7 +89,8 @@ def load_solve(path: str):
 
 def save_solve_sharded(path: str, solve: SolveResult, members: list,
                        centers: np.ndarray, host_id: int | None = None,
-                       num_hosts: int | None = None) -> str:
+                       num_hosts: int | None = None,
+                       digest: str = "") -> str:
     """Per-host checkpoint shard: each host of a multi-host run saves only
     its contiguous halo slice (parallel.distributed.host_segment) as
     ``{path}.{host_id}-of-{num_hosts}.npz`` — no host ever materializes
@@ -66,13 +109,14 @@ def save_solve_sharded(path: str, solve: SolveResult, members: list,
     sub = SolveResult(code=solve.code[sl], mvir=solve.mvir[sl],
                       rvir=solve.rvir[sl], j=solve.j[sl],
                       d2cut=solve.d2cut[sl], vcm=solve.vcm[sl])
-    save_solve(shard, sub, members[lo:lo + cnt], centers[sl])
+    save_solve(shard, sub, members[lo:lo + cnt], centers[sl], digest=digest)
     return shard
 
 
-def load_solve_sharded(path: str, num_hosts: int):
+def load_solve_sharded(path: str, num_hosts: int,
+                       expect_digest: str | None = None):
     """Merge all per-host checkpoint shards back into global arrays."""
-    parts = [load_solve(f"{path}.{h}-of-{num_hosts}.npz")
+    parts = [load_solve(f"{path}.{h}-of-{num_hosts}.npz", expect_digest)
              for h in range(num_hosts)]
     cat = lambda get: np.concatenate([get(p[0]) for p in parts])
     solve = SolveResult(code=cat(lambda s: s.code), mvir=cat(lambda s: s.mvir),

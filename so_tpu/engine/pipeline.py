@@ -102,11 +102,19 @@ def run_so(particles: ParticleSet, catalog: GroupCatalog, params: SOParams,
         t0 = _time.perf_counter()
         ck_members = None
         ck = params.checkpoint
+        digest = None
+        if ck is not None:
+            from ..checkpoint import input_digest
+
+            # guards resume against a different snapshot/catalog/params
+            digest = input_digest(particles, centers, rgtp, params.threshold,
+                                  params.n_members, params.period,
+                                  params.center)
         if ck is not None and os.path.exists(ck):
             from ..checkpoint import load_solve
 
             with timer.phase("checkpoint resume"):
-                solve, ck_members, ck_centers = load_solve(ck)
+                solve, ck_members, ck_centers = load_solve(ck, digest)
                 centers = np.asarray(ck_centers, np.float32)
                 catalog.pos = centers
         else:
@@ -122,7 +130,8 @@ def run_so(particles: ParticleSet, catalog: GroupCatalog, params: SOParams,
             from ..checkpoint import save_solve
 
             with timer.phase("checkpoint save"):
-                save_solve(ck, run.solve, run.members, centers)
+                save_solve(ck, run.solve, run.members, centers,
+                           digest=digest)
 
     if params.verbose:
         timer.report(items={"R_Delta solve": catalog.n,

@@ -117,15 +117,19 @@ def write_array_file(path: str, values: np.ndarray) -> None:
     """Tipsy-array ASCII: count then one value per line (kd2.c:1244-1264).
 
     Uses the native writer when available (1e9-line .sogrp files are pure
-    I/O); the fallback is numpy string assembly."""
+    I/O; it streams through a 1 MB text buffer). The Python fallback
+    streams in bounded chunks too — a 1024^3 run is ~10 GB of text, which
+    must never be materialized at once."""
     from ..native import write_int_array_native
 
     if write_int_array_native(path, values):
         return
+    CHUNK = 1 << 20
     with open(path, "w") as fp:
         fp.write("%d\n" % values.shape[0])
-        fp.write("\n".join(str(int(v)) for v in values))
-        if values.shape[0]:
+        for lo in range(0, values.shape[0], CHUNK):
+            blk = np.asarray(values[lo:lo + CHUNK]).astype(np.int64)
+            fp.write("\n".join(map(str, blk.tolist())))
             fp.write("\n")
 
 

@@ -101,7 +101,9 @@ def choose_m(n_particles: int, target_occupancy: int = 24, m_max: int = 9) -> in
 # Sentinel Morton code for padding particles: >= the cell count at every
 # level (1<<30 >> 3g >= 8^(m-g) whenever m <= 9), so every cell range at
 # every level excludes sentinels by construction.
-SENTINEL_CODE = jnp.int32(1 << 30)
+# (a numpy scalar, not jnp: creating a device array at import time would
+# initialize the XLA backend before jax.distributed.initialize can run)
+SENTINEL_CODE = np.int32(1 << 30)
 
 
 @partial(jax.jit, static_argnames=("m",))

@@ -82,11 +82,11 @@ def _flags(outdir):
                     + f" {c[0]} {c[1]} {c[2]}\n")
 
 
-def _errors(outdir):
+def _errors(outdir, standard=False):
     rng = np.random.default_rng(99)
     clumps = [dict(center=(0.2, 0.2, 0.2), n=2000, rmax=0.06, mass_total=0.25)]
     data = make_clumpy_box(rng, n_background=6000, clumps=clumps)
-    write_snapshot(f"{outdir}/snap.bin", data, time=1.0)
+    write_snapshot(f"{outdir}/snap.bin", data, time=1.0, standard=standard)
     # group 1: normal; group 2: void center, tiny rgtp (-1);
     # group 3: void center, big rgtp so >= nMembers sparse particles (-2);
     # group 4: tiny rgtp inside the clump: dense forever at huge -delta (-3 run)
@@ -94,7 +94,7 @@ def _errors(outdir):
               [(0.2, 0.2, 0.2), (-0.4, -0.4, -0.4), (-0.35, 0.4, -0.4),
                (0.2, 0.2, 0.2)],
               [0.05, 0.004, 0.2, 0.01],
-              [0.25, 0.001, 0.002, 0.003], time=1.0)
+              [0.25, 0.001, 0.002, 0.003], time=1.0, standard=standard)
 
 
 def _slurp(outdir):
@@ -154,6 +154,16 @@ SCENARIOS = {
     "flags_pot": (_flags, ["-pot", "-grp"], False),
     "errors": (_errors, ["-grp", "-gtp"], False),
     "errors_m3": (_errors, ["-delta", "1e-4", "-grp"], False),
+    # error codes under XDR: the reference's -std read paths (kd2.c:330-335,
+    # 368-371) interacting with unconverted error rows (kd2.c:996-1000)
+    "errors_std": (lambda d: _errors(d, standard=True),
+                   ["-std", "-grp", "-gtp"], True),
+    "errors_m3_std": (lambda d: _errors(d, standard=True),
+                      ["-std", "-delta", "1e-4", "-grp"], True),
+    # -u unit conversion + user -delta under -std (kd2.c:981-991 with XDR IO)
+    "units_std": (lambda d: _basic(d, standard=True),
+                  ["-std", "-delta", "500", "-u", "2.2e16", "50",
+                   "-grp", "-gtp"], True),
     "slurp": (_slurp, ["-grp", "-gtp", "-subsumed", "-ignored"], False),
     "ties": (_ties, ["-grp", "-subsumed", "-ignored"], False),
     "period": (_period, ["-p", "2.0", "-c", "1.0", "-grp"], False),

@@ -106,6 +106,30 @@ def test_checkpoint_resume_pipeline(tmp_path):
     np.testing.assert_array_equal(r1.derived.vcirc, r2.derived.vcirc)
 
 
+def test_checkpoint_wrong_input_refuses_resume(tmp_path):
+    """Resuming against a different snapshot / catalog / params raises
+    instead of silently producing a garbage catalog."""
+    ps, cat1 = _setup()
+    ck = str(tmp_path / "solve.npz")
+    run_so(ps, cat1, SOParams(threshold=178.0, checkpoint=ck))
+    assert os.path.exists(ck)
+
+    # different particle masses -> digest mismatch
+    ps2, cat2 = _setup()
+    ps2.mass = (ps2.mass * np.float32(1.5)).astype(np.float32)
+    with pytest.raises(ValueError, match="different inputs"):
+        run_so(ps2, cat2, SOParams(threshold=178.0, checkpoint=ck))
+
+    # different threshold -> digest mismatch
+    ps3, cat3 = _setup()
+    with pytest.raises(ValueError, match="different inputs"):
+        run_so(ps3, cat3, SOParams(threshold=200.0, checkpoint=ck))
+
+    # unchanged inputs still resume fine
+    ps4, cat4 = _setup()
+    run_so(ps4, cat4, SOParams(threshold=178.0, checkpoint=ck))
+
+
 def test_checkpoint_sharded_roundtrip(tmp_path):
     """Per-host checkpoint shards merge back to the global solve state."""
     from so_tpu.checkpoint import load_solve_sharded, save_solve_sharded

@@ -1,0 +1,152 @@
+"""Real multi-process jax.distributed exercise (SURVEY.md section 5,
+"distributed communication backend"; VERDICT round 1, item 2).
+
+Two local processes join a localhost coordinator, each with 4 virtual CPU
+devices, forming a global 8-device (4 halo x 2 part) mesh whose 'part'
+axis crosses the process boundary — the all_gather/psum merges in
+solve/members_stage_sharded ride real cross-process collectives. Each
+process reads only its own half of the snapshot file. Results must equal
+the single-process solver on the same problem.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+from fixtures import make_clumpy_box, write_snapshot  # noqa: E402
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def problem(tmp_path_factory):
+    workdir = tmp_path_factory.mktemp("dist")
+    rng = np.random.default_rng(23)
+    clumps = [
+        dict(center=(0.1, 0.0, -0.1), n=1200, rmax=0.06, mass_total=0.2),
+        dict(center=(-0.25, 0.3, 0.2), n=700, rmax=0.04, mass_total=0.08),
+    ]
+    d = make_clumpy_box(rng, n_background=2500, clumps=clumps)
+    write_snapshot(str(workdir / "snap.bin"), d)
+    base = np.array([[0.1, 0.0, -0.1], [-0.25, 0.3, 0.2]], np.float32)
+    centers = np.concatenate(
+        [base, base + rng.normal(size=(2, 3)).astype(np.float32) * 0.01,
+         np.array([[0.45, -0.4, 0.3]], np.float32),      # background: no halo
+         base[:1] + 0.005, base[1:] - 0.005, base[:1]])
+    radii = rng.uniform(0.04, 0.06, centers.shape[0]).astype(np.float32)
+    assert centers.shape[0] % 4 == 0                     # halo-axis multiple
+    np.savez(workdir / "problem.npz", centers=centers, radii=radii,
+             thr=np.float32(178.0))
+    return workdir, d, centers, radii
+
+
+@pytest.mark.distributed
+def test_two_process_distributed_solve(problem):
+    workdir, d, centers, radii = problem
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("XLA_", "JAX_"))}
+    env["TF_CPP_MIN_LOG_LEVEL"] = "3"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "distributed_worker.py"),
+             str(port), str(pid), "2", "4", str(workdir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"DISTRIBUTED_WORKER_OK pid={pid}" in out
+
+    # equality with the single-process solver (same stage parameters)
+    import jax.numpy as jnp
+
+    from so_tpu.engine.members import extract_members
+    from so_tpu.engine.solver import _solve_stage, unpack_stage_out
+    from so_tpu.ops import build_grid
+
+    grid = build_grid(d["pos"], d["mass"], vel=d["vel"], phi=d["phi"], m=3,
+                      pallas=False)
+    packed = _solve_stage(grid, 1, 2048, 7, 8, jnp.asarray(centers),
+                          jnp.asarray(radii), jnp.float32(178.0))
+    ints, flts = unpack_stage_out(np.asarray(packed))
+    got = np.load(workdir / "results.npz")
+
+    assert not ints[:, 3].any()                  # no overflow
+    np.testing.assert_array_equal(got["found"], ints[:, 2].astype(bool))
+    np.testing.assert_array_equal(got["jstar"], ints[:, 1])
+    np.testing.assert_allclose(got["mvir"], flts[:, 0], rtol=2e-6)
+    np.testing.assert_allclose(got["rvir"], flts[:, 1], rtol=2e-6)
+    np.testing.assert_allclose(got["d2cut"], flts[:, 2], rtol=2e-6)
+
+    found = ints[:, 2].astype(bool)
+    want_members, want_vcm = extract_members(
+        grid, centers[found], flts[found, 2], ints[found, 1],
+        flts[found, 0])
+    mcounts = got["mcounts"]
+    seg = np.cumsum(mcounts)
+    gi = 0
+    for g in range(centers.shape[0]):
+        if not found[g]:
+            assert mcounts[g] == 0
+            continue
+        lo = seg[g - 1] if g else 0
+        mine = got["members"][lo:seg[g]]
+        # tie order at equal d2 is arbitrary; the member SET is exact
+        np.testing.assert_array_equal(np.sort(mine),
+                                      np.sort(want_members[gi]))
+        np.testing.assert_allclose(got["vcm"][g], want_vcm[gi], rtol=2e-5,
+                                   atol=1e-7)
+        gi += 1
+
+
+def test_segment_grid_matches_inprocess_sharded():
+    """Single-process sanity: build_sharded_grid_segment(start=0, full
+    snapshot) over an in-process mesh == build_sharded_grid exactly."""
+    import jax
+
+    from so_tpu.parallel import build_sharded_grid, make_mesh
+    from so_tpu.parallel.distributed import (build_sharded_grid_segment,
+                                             grid_segment, make_multihost_mesh)
+
+    rng = np.random.default_rng(5)
+    d = make_clumpy_box(rng, n_background=1000,
+                        clumps=[dict(center=(0.1, 0.0, 0.0), n=500,
+                                     rmax=0.05, mass_total=0.2)])
+    mesh = make_multihost_mesh(parts_per_host=2)   # (4, 2) single-process
+    n = d["pos"].shape[0]
+    start, count = grid_segment(n, mesh)
+    assert (start, count) == (0, n)
+    sg = build_sharded_grid_segment(mesh, 0, n, d["pos"], d["mass"],
+                                    vel=d["vel"], m=3)
+    ref_mesh = make_mesh(4, 2)
+    sg_ref = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
+                                mesh=ref_mesh, pallas=False)
+    np.testing.assert_array_equal(np.asarray(sg.pos), np.asarray(sg_ref.pos))
+    np.testing.assert_array_equal(np.asarray(sg.mass),
+                                  np.asarray(sg_ref.mass))
+    np.testing.assert_array_equal(np.asarray(sg.orig_idx),
+                                  np.asarray(sg_ref.orig_idx))
+    for a, b in zip(sg.starts, sg_ref.starts):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

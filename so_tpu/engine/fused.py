@@ -1,0 +1,229 @@
+"""Fused member-extraction + derived-quantity pass.
+
+The reference re-gathers every solved group twice: kdTagParticles walks the
+j interior particles (call site kd2.c:823) and kdVcirc re-gathers at 2*Rvir
+(kd2.c:511-514). Both passes read the same ball (the interior is a prefix
+of the 2*Rvir gather, sorted by distance), so one fused stage gathers at
+2*Rvir with (mass, meta, idx) channels and derives BOTH products from the
+single sorted stack:
+
+  - derived quantities via engine.derived.derived_from_sorted (bit-equal:
+    same sorted inputs as the separate stage),
+  - interior member lists as the first j sorted rows (identical set to the
+    d2cut-masked member gather; tie order at the d2cut boundary is
+    arbitrary in both, as in the reference's unstable qsort),
+
+halving the gather+sort work and — more importantly over a remote-device
+tunnel — the dispatch and fetch round-trips of the post-solve phases
+(VERDICT round 1, item 4). vcm is computed host-side from the member rows
+(_VcmParticles, kd2.c:595-609), as in the host_mv member path.
+
+Eligibility: kdVcirc runs only for groups not slurped during their own
+tagging (kd2.c:884), which is known only after the host conflict pass.
+Since derived quantities read only particle data, the fused stage computes
+them for every solved group and the pipeline zeroes the slurped rows after
+the conflict pass — observably identical output.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gather import ragged_ball_gather, slab_gather
+from ..ops.grid import CellGrid
+from .derived import NMASSPROFILE, NVCIRC, DerivedResult, derived_from_sorted
+from .members import _pack_rows
+
+
+@partial(jax.jit, static_argnames=("level", "K", "S", "cap", "n_members",
+                                   "species"))
+def _fused_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
+                 n_members: int, species: tuple, centers, rvir, j, mvir,
+                 grav):
+    fball = jnp.float32(2.0) * rvir
+    fball2 = fball * fball
+    B = centers.shape[0]
+    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+    if grid.soa8t is not None:
+        # meta feeds only the species profiles — dropping it when no
+        # species are requested (the common case) takes one operand out of
+        # the K-wide sort
+        chans = ("mass", "meta", "idx") if species else ("mass", "idx")
+        sg = slab_gather(grid, level, centers, fball, fball2, K, S,
+                         channels=chans)
+        d2_s, mass_s = sg.d2, sg.channels[0]
+        if species:
+            meta = sg.channels[1].astype(jnp.int32)
+            ptype_s, mark_s = meta & 0xF, (meta >> 4) > 0
+        else:
+            ptype_s = jnp.zeros_like(d2_s, jnp.int32)
+            mark_s = jnp.zeros_like(d2_s, bool)
+        srow = sg.channels[-1]
+        n_in, overflow = sg.n_in, sg.overflow
+    else:
+        g = ragged_ball_gather(grid, level, centers, fball, fball2, K, S,
+                               sort=True)
+        valid = slot < g.n_in[:, None]
+        d2_s = g.d2
+        mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
+        ptype_s = grid.ptype[g.idx]
+        mark_s = grid.mark[g.idx] & valid
+        srow = jnp.where(valid, g.idx, -1)
+        n_in, overflow = g.n_in, g.overflow
+
+    der = derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir,
+                              mvir, fball, n_members, species, grav)
+
+    # interior members: first j sorted rows (kdTagParticles walk order).
+    # Pack the sorted-row indices FIRST and translate only the packed
+    # vector to original indices — a (B, K) orig_idx[srow] gather lowers
+    # to a ~67M-element random row-gather that costs ~1 s/stage on TPU
+    # (the pattern the slab kernel exists to avoid); the packed gather is
+    # `cap` elements.
+    interior = (slot < j[:, None]) & jnp.isfinite(d2_s) & (srow >= 0)
+    rows_masked = jnp.where(interior, srow, -1)
+    packed_rows, counts = _pack_rows(rows_masked, cap)
+    packed = jnp.where(packed_rows >= 0,
+                       grid.orig_idx[jnp.clip(packed_rows, 0, grid.n - 1)],
+                       -1)
+
+    dblock = jnp.concatenate(
+        [overflow.astype(jnp.float32)[:, None], der["vcirc"], der["rmass"],
+         der["rmax"][:, None], der["vmax"][:, None]]
+        + [der["profiles"][sp] for sp in species], axis=1)
+    return packed, counts, dblock
+
+
+def members_and_derived(grid: CellGrid, centers: np.ndarray,
+                        rvir: np.ndarray, d2cut: np.ndarray, j: np.ndarray,
+                        mvir: np.ndarray, host_mv: np.ndarray,
+                        n_members: int = 8, species: tuple = (),
+                        grav: float = 1.0, s_max: int = 11,
+                        slot_budget: int = 1 << 25, cap_hint=None):
+    """One fused pass over the solved halos: (members, vcm, DerivedResult).
+
+    Same escalation shape as engine.members.extract_members /
+    engine.derived.compute_derived; capacity sized for the 2*Rvir ball.
+    """
+    from .solver import _chunk_for, _k_limit, _pad_b, _pick_level_span, _stage_grid
+
+    G = centers.shape[0]
+    vcm = np.zeros((G, 3), np.float32)
+    out_members: list[np.ndarray | None] = [None] * G
+    derived = DerivedResult(
+        vcirc=np.zeros((G, NVCIRC), np.float32),
+        rmass=np.zeros((G, 2), np.float32),
+        rmax=np.zeros(G, np.float32),
+        vmax=np.zeros(G, np.float32),
+        profiles={sp: np.zeros((G, NMASSPROFILE), np.float32)
+                  for sp in species})
+    if G == 0:
+        return out_members, vcm, derived
+    if getattr(grid, "soa8t", None) is not None:
+        s_max = min(s_max, 7)
+    centers = np.asarray(centers, np.float32)
+    rvir = np.asarray(rvir, np.float32)
+    j = np.asarray(j, np.int64)
+    mvir = np.asarray(mvir, np.float32)
+    grav32 = jnp.float32(grav)
+
+    if getattr(grid, "soa8t", None) is not None:
+        # slab footprint slack: each merged run wastes < 2*CHUNK slots to
+        # chunk alignment and a 2*Rvir ball at the chosen level covers at
+        # most S^3 cells, so S^3 * 2*CHUNK bounds the alignment waste —
+        # a blanket 8192 pushed every halo into a 4x-larger sort tier
+        from ..ops.pallas_gather import CHUNK
+
+        _, S_est = _pick_level_span(grid, 2.0 * float(np.max(rvir)), s_max)
+        pad0 = int(min(8192, 2 * CHUNK * S_est ** 3))
+    else:
+        pad0 = 256
+    est = j * 12 + pad0
+    if cap_hint is not None:
+        # the solve stage's resolving capacity bounds any re-gather at a
+        # radius <= its own; the 2*Rvir ball can exceed that radius, so the
+        # hint is a floor, not a ceiling
+        est = np.maximum(est, np.asarray(cap_hint, np.int64))
+    need_cap = 4 ** np.ceil(np.log2(np.maximum(est, 256)) / 2) \
+        .astype(np.int64)
+    todo = np.arange(G)
+    guard = 0
+    import os
+    import sys
+    from time import perf_counter as _pc
+    dbg = os.environ.get("SO_TPU_DEBUG")
+    while todo.size:
+        guard += 1
+        if guard > 64:
+            raise RuntimeError("fused member/derived escalation runaway")
+        next_todo = []
+        for capacity in np.unique(need_cap[todo]):
+            sel = todo[need_cap[todo] == capacity]
+            K = int(min(capacity, max(512, _k_limit(grid, s_max))))
+            level, S = _pick_level_span(grid, 2.0 * float(rvir[sel].max()),
+                                        s_max)
+            chunk = _chunk_for(K, slot_budget)
+            for lo in range(0, sel.size, chunk):
+                part = sel[lo:lo + chunk]
+                B = _pad_b(part.size, K)
+                c_pad = np.zeros((B, 3), np.float32)
+                r_pad = np.full(B, 1e-30, np.float32)
+                j_pad = np.zeros(B, np.int32)
+                m_pad = np.ones(B, np.float32)
+                c_pad[:part.size] = centers[part]
+                r_pad[:part.size] = rvir[part]
+                j_pad[:part.size] = j[part]
+                m_pad[:part.size] = mvir[part]
+                cap = 1 << int(np.ceil(np.log2(
+                    max(int(j[part].sum()) + 8 * part.size, 1024))))
+                cap = int(min(cap, B * K))
+                t0 = _pc() if dbg else 0.0
+                # 4-channel gathers fit the slab VMEM window to K=2^14
+                packed, counts, dblock = _fused_stage(
+                    _stage_grid(grid, K if K <= (1 << 14) else (1 << 30)),
+                    level, K, S, cap, n_members, species,
+                    jnp.asarray(c_pad), jnp.asarray(r_pad),
+                    jnp.asarray(j_pad), jnp.asarray(m_pad), grav32)
+                counts = np.asarray(counts)
+                if int(counts.sum()) > cap:
+                    need_cap[part] = np.minimum(need_cap[part] * 4,
+                                                2 * _k_limit(grid, s_max))
+                    next_todo.extend(part)
+                    continue
+                packed = np.asarray(packed)
+                dblock = np.asarray(dblock)[:part.size]
+                if dbg:
+                    print(f"so_tpu[fused]: stage B={B} K={K} S={S} "
+                          f"level={level} n={part.size} cap={cap} "
+                          f"dt={(_pc() - t0) * 1e3:.1f}ms",
+                          file=sys.stderr, flush=True)
+                seg = np.cumsum(counts)
+                ovf = dblock[:, 0] > 0
+                for i, h in enumerate(part):
+                    if ovf[i]:
+                        need_cap[h] = min(need_cap[h] * 4,
+                                          2 * _k_limit(grid, s_max))
+                        next_todo.append(h)
+                        continue
+                    lo_i = seg[i - 1] if i else 0
+                    out_members[h] = packed[lo_i:lo_i + min(counts[i], j[h])] \
+                        .astype(np.int64)
+                    derived.vcirc[h] = dblock[i, 1:9]
+                    derived.rmass[h] = dblock[i, 9:11]
+                    derived.rmax[h] = dblock[i, 11]
+                    derived.vmax[h] = dblock[i, 12]
+                    for si, sp in enumerate(species):
+                        derived.profiles[sp][h] = \
+                            dblock[i, 13 + 16 * si:29 + 16 * si]
+        todo = np.asarray(next_todo, np.int64)
+
+    # group mean velocity from the member rows (_VcmParticles)
+    mvh = np.asarray(host_mv, np.float32)
+    for h, lst in enumerate(out_members):
+        if lst is not None and lst.size:
+            vcm[h] = mvh[lst].sum(axis=0, dtype=np.float32) / mvir[h]
+    return out_members, vcm, derived

@@ -52,7 +52,6 @@ def _members_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
                         channels=chans)
         idx_s = g.channels[-1]
         srow = jnp.where(interior, idx_s, -1)
-        orig = jnp.where(srow >= 0, grid.orig_idx[jnp.maximum(srow, 0)], -1)
         if with_mv:
             vcm = jnp.where(interior[:, :, None], g.channels[0], 0.0) \
                 .sum(axis=1) / mvir[:, None]
@@ -62,14 +61,20 @@ def _members_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
         g = ragged_ball_gather(grid, level, centers, cover_r, d2cut, K, S,
                                sort=True)
         valid = jnp.isfinite(g.d2)
-        orig = jnp.where(valid & interior, grid.orig_idx[g.idx], -1)
+        srow = jnp.where(valid & interior, g.idx, -1)
         if with_mv:
             w = jnp.where(valid & interior, grid.mass[g.idx], 0.0)
             vcm = (w[:, :, None] * grid.vel[g.idx]).sum(axis=1) \
                 / mvir[:, None]
         else:
             vcm = jnp.zeros((centers.shape[0], 3), jnp.float32)
-    packed, counts = _pack_rows(orig, cap)
+    # pack first, translate after: orig_idx[(B, K) rows] is a huge random
+    # row-gather (~1 s/stage at 67M slots on TPU); orig_idx[(cap,) rows]
+    # is negligible
+    packed_rows, counts = _pack_rows(srow, cap)
+    packed = jnp.where(packed_rows >= 0,
+                       grid.orig_idx[jnp.clip(packed_rows, 0, grid.n - 1)],
+                       -1)
     return packed, counts, vcm, g.n_in, g.overflow
 
 

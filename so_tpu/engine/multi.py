@@ -70,8 +70,13 @@ def _multi_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
 
 def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                      n_members: int = 8, k0_cap: int = 4096, s_max: int = 11,
-                     slot_budget: int = 1 << 25) -> MultiSolveResult:
-    """Batched R_Delta for every (halo, threshold) pair, shared gathers."""
+                     slot_budget: int = 1 << 25,
+                     stage_fn=None) -> MultiSolveResult:
+    """Batched R_Delta for every (halo, threshold) pair, shared gathers.
+
+    ``stage_fn(level, K, S, n_members, T, centers, radii)`` overrides the
+    single-device stage — parallel.mesh.solve_rvir_multi_sharded injects
+    its shard_map stage and reuses this escalation driver unchanged."""
     thresholds = np.asarray(thresholds, np.float32)
     T = thresholds.shape[0]
     G = centers.shape[0]
@@ -79,6 +84,9 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
     rgtp = np.asarray(rgtp, np.float32)
     period = np.asarray(grid.period, np.float32)
     thr_dev = jnp.asarray(thresholds)
+    if stage_fn is None:
+        stage_fn = lambda level, K, S, nm, T_, c, r: _multi_stage(
+            _stage_grid(grid, K), level, K, S, nm, T_, c, r, thr_dev)
     if getattr(grid, "soa8t", None) is not None:
         s_max = min(s_max, 7)
 
@@ -121,9 +129,9 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                 r_pad = np.zeros(B, np.float32)
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = radii[lo:lo + chunk]
-                arr = np.asarray(_multi_stage(
-                    _stage_grid(grid, K), level, K, S, n_members, T,
-                    jnp.asarray(c_pad), jnp.asarray(r_pad), thr_dev))
+                arr = np.asarray(stage_fn(
+                    level, K, S, n_members, T,
+                    jnp.asarray(c_pad), jnp.asarray(r_pad)))
                 n_in = arr[T, :part.size, 0]
                 ovf = arr[T, :part.size, 1].astype(bool)
                 found = arr[:T, :part.size, 0].astype(bool)  # (T, b)

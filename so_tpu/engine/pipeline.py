@@ -183,16 +183,48 @@ def run_so_multi(particles: ParticleSet, catalog: GroupCatalog,
     return runs
 
 
+def _scatter_derived(src, ok_rows, eligible, n, species):
+    """Fused-stage rows (over the solved subset) -> catalog-order
+    DerivedResult with ineligible rows zeroed."""
+    from .derived import NMASSPROFILE, NVCIRC
+
+    out = DerivedResult(
+        vcirc=np.zeros((n, NVCIRC), np.float32),
+        rmass=np.zeros((n, 2), np.float32),
+        rmax=np.zeros(n, np.float32),
+        vmax=np.zeros(n, np.float32),
+        profiles={sp: np.zeros((n, NMASSPROFILE), np.float32)
+                  for sp in species})
+    keep = eligible[ok_rows]
+    dst = ok_rows[keep]
+    out.vcirc[dst] = src.vcirc[keep]
+    out.rmass[dst] = src.rmass[keep]
+    out.rmax[dst] = src.rmax[keep]
+    out.vmax[dst] = src.vmax[keep]
+    for sp in species:
+        out.profiles[sp][dst] = src.profiles[sp][keep]
+    return out
+
+
 def _post_solve(grid, particles, catalog, centers, solve, params,
                 timer, members=None) -> SORun:
     ok = solve.code == 0
+    derived_all = None
     if members is None:
-        with timer.phase("member extraction"):
-            members_ok, vcm_ok = extract_members(
-                grid, centers[ok], solve.d2cut[ok], solve.j[ok],
-                solve.mvir[ok],
-                cap_hint=(solve.kcap[ok] if solve.kcap is not None else None),
-                host_mv=particles.vel * particles.mass[:, None])
+        # fused pass: member lists AND derived quantities from ONE gather
+        # at 2*Rvir (the interior is a sorted prefix of the kdVcirc ball;
+        # kd2.c:511-514 vs 823) — halves the post-solve gather/sort work
+        # and the device round-trips
+        from .fused import members_and_derived
+
+        with timer.phase("members + derived (fused)"):
+            members_ok, vcm_ok, derived_all = members_and_derived(
+                grid, centers[ok], solve.rvir[ok], solve.d2cut[ok],
+                solve.j[ok], solve.mvir[ok],
+                host_mv=particles.vel * particles.mass[:, None],
+                n_members=params.n_members, species=tuple(params.species),
+                grav=params.grav,
+                cap_hint=(solve.kcap[ok] if solve.kcap is not None else None))
             members = [None] * catalog.n
             for slot, h in enumerate(np.nonzero(ok)[0]):
                 members[h] = members_ok[slot]
@@ -207,11 +239,20 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
 
     eligible = ok & ~conflicts.slurped_own  # kdSO eligibility (kd2.c:884)
     with timer.phase("derived quantities"):
-        derived = compute_derived(grid, centers, solve.rvir, solve.mvir,
-                                  solve.j, eligible,
-                                  n_members=params.n_members,
-                                  species=tuple(params.species),
-                                  grav=params.grav)
+        if derived_all is not None:
+            # scatter the fused per-ok-halo rows to catalog order, zeroing
+            # ineligible (slurped-own) rows — kdVcirc skip, kd2.c:884
+            derived = _scatter_derived(derived_all, np.nonzero(ok)[0],
+                                       eligible, catalog.n,
+                                       tuple(params.species))
+        else:
+            # checkpoint-resume path: members came from the snapshot, only
+            # the derived pass runs on device
+            derived = compute_derived(grid, centers, solve.rvir, solve.mvir,
+                                      solve.j, eligible,
+                                      n_members=params.n_members,
+                                      species=tuple(params.species),
+                                      grav=params.grav)
 
     with timer.phase("stats"):
         stats = compute_stats(np.asarray(particles.mass), conflicts.igrp,

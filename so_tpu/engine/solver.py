@@ -160,6 +160,31 @@ def unpack_stage_out(packed: np.ndarray):
     return ints, flts
 
 
+def fused_tier2_select(out1_found, overflow, n_in, kleft, centers, radii,
+                       B2: int, dk: int, n_members: int):
+    """Tier-2 population + radii for the fused two-round stage (shared by
+    the single-device and shard_map paths): halos tier 1 could not settle,
+    compacted to B2 rows. Returns (idc, valid2, steps, c2, r2)."""
+    B = centers.shape[0]
+    need2 = overflow | ((~out1_found) & (kleft > 0) & (n_in >= n_members))
+    big = jnp.int32(1 << 30)
+    key = jnp.where(need2, jnp.arange(B, dtype=jnp.int32), big)
+    ids = jax.lax.sort(key)[:B2]              # compacted halo rows
+    valid2 = ids < big
+    idc = jnp.where(valid2, ids, 0)
+
+    # radius: unchanged for overflow (capacity regrow, smooth2.c:49-55);
+    # next dk ladder rungs otherwise (kd2.c:765-767), in exact float32
+    ovf_sel = overflow[idc] & valid2
+    steps = jnp.where(valid2 & ~ovf_sel,
+                      jnp.minimum(kleft[idc], dk), 0).astype(jnp.int32)
+    r2 = radii[idc]
+    for i in range(dk):                       # static repeated f32 multiply
+        r2 = jnp.where(i < steps, r2 * jnp.float32(1.2), r2)
+    r2 = jnp.where(valid2, r2, jnp.float32(1e-30))
+    return idc, valid2, steps, centers[idc], r2
+
+
 @partial(jax.jit, static_argnames=("level", "K", "S", "level2", "K2", "S2",
                                    "B2", "n_members", "dk"))
 def _solve_stage_fused(grid: CellGrid, level: int, K: int, S: int,
@@ -187,24 +212,9 @@ def _solve_stage_fused(grid: CellGrid, level: int, K: int, S: int,
     # tier-2 population: capacity overflow, or no crossing found with
     # ladder rungs left (and not an obvious -1: n_in < nMembers without
     # overflow resolves immediately on the host)
-    need2 = g.overflow | ((~out1["found"]) & (kleft > 0)
-                          & (g.n_in >= n_members))
-    big = jnp.int32(1 << 30)
-    key = jnp.where(need2, jnp.arange(B, dtype=jnp.int32), big)
-    ids = jax.lax.sort(key)[:B2]              # compacted halo rows
-    valid2 = ids < big
-    idc = jnp.where(valid2, ids, 0)
-
-    # radius: unchanged for overflow (capacity regrow, smooth2.c:49-55);
-    # next dk ladder rungs otherwise (kd2.c:765-767), in exact float32
-    ovf_sel = g.overflow[idc] & valid2
-    steps = jnp.where(valid2 & ~ovf_sel,
-                      jnp.minimum(kleft[idc], dk), 0).astype(jnp.int32)
-    r2 = radii[idc]
-    for i in range(dk):                       # static repeated f32 multiply
-        r2 = jnp.where(i < steps, r2 * jnp.float32(1.2), r2)
-    r2 = jnp.where(valid2, r2, jnp.float32(1e-30))
-    c2 = centers[idc]
+    idc, valid2, steps, c2, r2 = fused_tier2_select(
+        out1["found"], g.overflow, g.n_in, kleft, centers, radii, B2, dk,
+        n_members)
 
     g2 = slab_gather(grid, level2, c2, r2, r2 * r2, K2, S2,
                      channels=("mass",))
@@ -348,7 +358,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                k0_cap: int = 4096, s_max: int = 11,
                slot_budget: int = 1 << 26,
                progress=None, stage_fn=None, fused=None,
-               fused_b2: int = 256) -> SolveResult:
+               fused_b2: int = 256, fused_stage_fn=None) -> SolveResult:
     """Solve R_Delta for every halo (batched, staged capacity escalation).
 
     ``stage_fn(level, K, S, n_members, centers, radii, thr)`` overrides the
@@ -359,6 +369,10 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     ``fused`` runs the first round through _solve_stage_fused (tier 1 +
     compacted tier 2 in one dispatch); default: on for the slab path with
     large batches, where the second round-trip dominates the tail cost.
+    ``fused_stage_fn(level, K, S, level2, K2, S2, B2, n_members, dk,
+    centers, radii, kleft, thr)`` overrides the fused kernel the same way
+    stage_fn overrides the plain one (parallel.mesh injects its shard_map
+    fused stage) — the host decision logic is identical either way.
     """
     default_stage = stage_fn is None
     if stage_fn is None:
@@ -379,7 +393,9 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     if fused is None:
         # fused round 1 needs direct grid access (no injected stage) and a
         # batch big enough that the saved round-trip matters
-        fused = has_slab and default_stage and G >= 2048
+        fused = ((has_slab and default_stage) or fused_stage_fn is not None) \
+            and G >= 2048
+    can_fuse = fused_stage_fn is not None or (has_slab and default_stage)
 
     code = np.zeros(G, np.int32)
     mvir = np.zeros(G, np.float32)
@@ -474,7 +490,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         if progress is not None:
             progress(resolved.sum(), G)
 
-    if fused and has_slab and default_stage and not resolved.all():
+    if fused and can_fuse and not resolved.all():
         # round 1 + compacted round 2 in one dispatch
         live = np.nonzero(~resolved)[0]
         K = int(min(k0_cap, _k_limit(grid, s_max)))
@@ -508,10 +524,16 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             r_pad[:part.size] = radii[lo:lo + chunk]
             kl_pad[:part.size] = kmax[part] - k_eff[lo:lo + chunk]
             t0 = _pc() if os.environ.get("SO_TPU_DEBUG") else 0.0
-            packed = _solve_stage_fused(
-                grid, level, K, S, level2, K2, S2, B2, n_members, DK,
-                jnp.asarray(c_pad), jnp.asarray(r_pad), jnp.asarray(kl_pad),
-                thr32)
+            if fused_stage_fn is not None:
+                packed = fused_stage_fn(
+                    level, K, S, level2, K2, S2, B2, n_members, DK,
+                    jnp.asarray(c_pad), jnp.asarray(r_pad),
+                    jnp.asarray(kl_pad), thr32)
+            else:
+                packed = _solve_stage_fused(
+                    grid, level, K, S, level2, K2, S2, B2, n_members, DK,
+                    jnp.asarray(c_pad), jnp.asarray(r_pad),
+                    jnp.asarray(kl_pad), thr32)
             arr = np.asarray(packed)
             if os.environ.get("SO_TPU_DEBUG"):
                 print(f"so_tpu[solve]: fused B={B} K={K} S={S} level={level}"

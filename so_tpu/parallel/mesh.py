@@ -250,6 +250,66 @@ def solve_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
     )(sgrid, centers, radii, thr)
 
 
+@partial(jax.jit, static_argnames=("mesh", "level", "K", "S", "level2",
+                                   "K2", "S2", "B2", "n_members", "dk"))
+def solve_stage_fused_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
+                              K: int, S: int, level2: int, K2: int, S2: int,
+                              B2: int, n_members: int, dk: int,
+                              centers, radii, kleft, thr):
+    """Two escalation rounds in ONE dispatch under shard_map: the sharded
+    analog of engine.solver._solve_stage_fused. Tier-1 per-shard hits merge
+    over 'part' (all_gather + sort) exactly like solve_stage_sharded; the
+    tier-2 population/radii come from the shared fused_tier2_select (the
+    inputs are part-replicated, so every shard of a halo row compacts the
+    same ids) and the tier-2 gather+merge runs in the same program.
+    Returns (p1, p2): p1 is the (B, 7) tier-1 block in global halo order;
+    p2 is (n_halo * B2, 7) — each halo shard contributes its own compacted
+    tier-2 rows with ids translated to GLOBAL halo rows, so the host
+    driver's two-block decision logic applies unchanged."""
+    from ..engine.solver import fused_tier2_select, pack_stage_out
+
+    def merged_scan(sg, level_, K_, S_, centers_, radii_, thr_):
+        grid = sg.local_cellgrid()
+        d2_l, mass_l, n_in_l, ovf_l = _local_hits(
+            grid, level_, K_, S_, centers_, radii_, ("mass",))
+        d2_all = jax.lax.all_gather(d2_l, "part", axis=1, tiled=True)
+        m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
+        n_in = jax.lax.psum(n_in_l, "part")
+        overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
+        d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1,
+                                 is_stable=False)
+        out = scan_sorted(d2_s, m_s, None, n_in, thr_, n_members)
+        out.update(n_in=n_in, overflow=overflow)
+        return out
+
+    def body(sg: ShardedGrid, centers, radii, kleft, thr):
+        B = centers.shape[0]          # per-shard halo rows
+        out1 = merged_scan(sg, level, K, S, centers, radii, thr)
+        p1 = pack_stage_out(out1)
+        p1x = jnp.concatenate([p1, jnp.zeros((B, 2), jnp.int32)], axis=1)
+
+        idc, valid2, steps, c2, r2 = fused_tier2_select(
+            out1["found"], out1["overflow"], out1["n_in"], kleft, centers,
+            radii, B2, dk, n_members)
+        out2 = merged_scan(sg, level2, K2, S2, c2, r2, thr)
+        gid = jax.lax.axis_index("halo").astype(jnp.int32) * B + idc
+        p2 = jnp.concatenate(
+            [pack_stage_out(out2),
+             jnp.where(valid2, gid, -1)[:, None], steps[:, None]], axis=1)
+        return p1x, p2
+
+    specs_grid = ShardedGrid(
+        sgrid.m, P(), P(), *(P("part"),) * 7,
+        tuple(P("part") for _ in sgrid.starts),
+        None if sgrid.soa8t is None else P("part"))
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(specs_grid, P("halo"), P("halo"), P("halo"), P()),
+        out_specs=(P("halo"), P("halo")),
+        check_vma=False,
+    )(sgrid, centers, radii, kleft, thr)
+
+
 @partial(jax.jit, static_argnames=("mesh", "level", "K", "S", "n_members",
                                    "species"))
 def derived_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
@@ -419,6 +479,108 @@ def sharded_stage_fn(mesh: Mesh, sgrid: ShardedGrid):
     return stage
 
 
+@partial(jax.jit, static_argnames=("mesh", "level", "K", "S", "n_members",
+                                   "T"))
+def multi_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
+                        S: int, n_members: int, T: int, centers, radii,
+                        thresholds):
+    """Sharded multi-threshold stage: ONE part-merged gather+sort per halo,
+    T density scans (engine.multi._multi_stage under shard_map). Output is
+    the same (T+1, B, 5) packed block, halo-sharded on axis 1."""
+    from ..engine.solver import scan_sorted as _scan
+
+    def body(sg: ShardedGrid, centers, radii, thresholds):
+        grid = sg.local_cellgrid()
+        d2_l, mass_l, n_in_l, ovf_l = _local_hits(grid, level, K, S, centers,
+                                                  radii, ("mass",))
+        d2_all = jax.lax.all_gather(d2_l, "part", axis=1, tiled=True)
+        m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
+        n_in = jax.lax.psum(n_in_l, "part")
+        ovf = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
+        d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1,
+                                 is_stable=False)
+        outs = [_scan(d2_s, m_s, None, n_in, thresholds[t], n_members)
+                for t in range(T)]
+        bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        per_t = jnp.stack([jnp.stack(
+            [o["found"].astype(jnp.int32), o["jstar"],
+             bc(o["mvir"]), bc(o["rvir"]), bc(o["d2cut"])], axis=1)
+            for o in outs])
+        tail = jnp.stack([n_in.astype(jnp.int32), ovf.astype(jnp.int32),
+                          jnp.zeros_like(n_in), jnp.zeros_like(n_in),
+                          jnp.zeros_like(n_in)], axis=1)[None]
+        return jnp.concatenate([per_t, tail], axis=0)
+
+    specs_grid = ShardedGrid(
+        sgrid.m, P(), P(), *(P("part"),) * 7,
+        tuple(P("part") for _ in sgrid.starts),
+        None if sgrid.soa8t is None else P("part"))
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(specs_grid, P("halo"), P("halo"), P()),
+        out_specs=P(None, "halo"),
+        check_vma=False,
+    )(sgrid, centers, radii, thresholds)
+
+
+def solve_rvir_multi_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp,
+                             thresholds, n_members: int = 8, **kw):
+    """Multi-device multi-threshold solve: same escalation driver."""
+    from ..engine.multi import solve_rvir_multi
+
+    n_halo = mesh.shape["halo"]
+    thr_dev = jnp.asarray(np.asarray(thresholds, np.float32))
+
+    class _GridProxy:
+        m = sgrid.m
+        n = int(sgrid.nshards * sgrid.n_local)
+        period = sgrid.period
+        soa8t = sgrid.soa8t
+
+        def ncell(self, level):
+            return 1 << (sgrid.m - level)
+
+    def stage(level, K, S, nm, T, centers, radii):
+        B = centers.shape[0]
+        pad = (-B) % n_halo
+        if pad:
+            centers = jnp.concatenate(
+                [centers, jnp.zeros((pad, 3), jnp.float32)])
+            radii = jnp.concatenate([radii, jnp.full(pad, 1e-30,
+                                                     jnp.float32)])
+        out = multi_stage_sharded(mesh, sgrid, level, K, S, nm, T,
+                                  centers, radii, thr_dev)
+        return out[:, :B]
+
+    return solve_rvir_multi(_GridProxy(), centers, rgtp, thresholds,
+                            n_members=n_members, stage_fn=stage, **kw)
+
+
+def sharded_fused_stage_fn(mesh: Mesh, sgrid: ShardedGrid):
+    """Adapter matching engine.solver's fused_stage_fn contract: tier-1
+    rows [0:B] + tier-2 rows [B:] with global halo ids — the driver's
+    decision logic runs unchanged on multi-device meshes."""
+    n_halo = mesh.shape["halo"]
+
+    def stage(level, K, S, level2, K2, S2, B2, n_members, dk,
+              centers, radii, kleft, thr):
+        B = centers.shape[0]
+        pad = (-B) % n_halo
+        if pad:
+            centers = jnp.concatenate(
+                [centers, jnp.zeros((pad, 3), jnp.float32)])
+            radii = jnp.concatenate([radii, jnp.full(pad, 1e-30, jnp.float32)])
+            kleft = jnp.concatenate([kleft, jnp.zeros(pad, jnp.int32)])
+        p1, p2 = solve_stage_fused_sharded(
+            mesh, sgrid, level, K, S, level2, K2, S2, B2, n_members, dk,
+            centers, radii, kleft, thr)
+        # ids in p2 reference the padded batch; rows pointing at pad halos
+        # are dropped by the driver's `ids < part.size` check
+        return jnp.concatenate([p1[:B], p2], axis=0)
+
+    return stage
+
+
 def solve_rvir_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp, thr,
                        n_members: int = 8, **kw):
     """Multi-device solve_rvir: same escalation driver, sharded stage."""
@@ -434,5 +596,6 @@ def solve_rvir_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp, thr,
             return 1 << (sgrid.m - level)
 
     proxy = _GridProxy()
+    kw.setdefault("fused_stage_fn", sharded_fused_stage_fn(mesh, sgrid))
     return solver.solve_rvir(proxy, centers, rgtp, thr, n_members=n_members,
                              stage_fn=sharded_stage_fn(mesh, sgrid), **kw)

@@ -10,7 +10,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
 from scenarios import generate_inputs  # noqa: E402
-from util_compare import compare_exact_file, compare_file  # noqa: E402
+from util_compare import compare_exact_file, compare_file, compare_sogtp  # noqa: E402
 
 
 def test_deltas_matches_single_runs(tmp_path):
@@ -19,7 +19,7 @@ def test_deltas_matches_single_runs(tmp_path):
     workdir = str(tmp_path)
     generate_inputs("basic", workdir)
     base_args = ["-i", f"{workdir}/cat.gtp", "--tipsy", f"{workdir}/snap.bin",
-                 "-grp"]
+                 "-grp", "-gtp"]
     assert main(base_args + ["-o", f"{workdir}/multi",
                              "--deltas", "120,400"]) == 0
     for d in ("120", "400"):
@@ -29,4 +29,9 @@ def test_deltas_matches_single_runs(tmp_path):
                             f"{workdir}/multi.d{d}.sovcirc")
         errs += compare_exact_file(f"{workdir}/single{d}.sogrp",
                                    f"{workdir}/multi.d{d}.sogrp")
+        # .sogtp carries vel=vcm columns: run_so_multi zeroes
+        # SolveResult.vcm and relies on the member pass recomputing it —
+        # this pins that the --deltas catalogs get real velocities
+        errs += compare_sogtp(f"{workdir}/single{d}.sogtp",
+                              f"{workdir}/multi.d{d}.sogtp", False)
         assert not errs, "\n".join(errs[:5])

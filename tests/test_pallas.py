@@ -67,3 +67,27 @@ def test_slab_overflow_flag(small_grid):
     got = slab_gather(grid, 1, centers, big, big * big, 256, 5,
                       channels=("mass",))
     assert bool(got.overflow[0])
+
+
+def test_slab_recenter_matches_xla():
+    """-pot recentring via the slab kernel (phi in the mass row, unsorted
+    argmin) == the XLA ragged-gather recenter stage."""
+    import jax.numpy as jnp
+
+    from so_tpu.engine.recenter import recenter_most_bound
+
+    rng = np.random.default_rng(11)
+    N = 900
+    pos = rng.uniform(-0.5, 0.5, (N, 3)).astype(np.float32)
+    pos[:300] = pos[:300] * 0.08 + np.array([0.1, 0.1, 0.1], np.float32)
+    mass = rng.uniform(0.5, 1.5, N).astype(np.float32)
+    phi = rng.uniform(-3.0, -0.1, N).astype(np.float32)  # distinct: no ties
+    g_slab = build_grid(pos, mass, phi=phi, m=2, pallas=True)
+    g_xla = build_grid(pos, mass, phi=phi, m=2, pallas=False)
+    centers = np.array([[0.1, 0.1, 0.1], [0.12, 0.09, 0.1],
+                        [-0.4, -0.4, -0.4],    # likely-empty ball
+                        [0.3, -0.2, 0.0]], np.float32)
+    rgtp = np.array([0.05, 0.04, 0.01, 0.2], np.float32)
+    a = recenter_most_bound(g_xla, centers, rgtp)
+    b = recenter_most_bound(g_slab, centers, rgtp)
+    np.testing.assert_array_equal(a, b)

@@ -199,3 +199,77 @@ def test_sharded_solve_pallas_payload():
     np.testing.assert_array_equal(a.j, b.j)
     np.testing.assert_allclose(a.mvir, b.mvir, rtol=1e-6)
     np.testing.assert_allclose(a.rvir, b.rvir, rtol=1e-6)
+
+
+def test_sharded_fused_tier_matches_single(data):
+    """The fused two-round program (tier 1 + compacted tier 2 in one
+    dispatch) under shard_map == the single-device escalation path."""
+    d, centers, rgtp = data
+    thr = 178.0
+    grid = build_grid(d["pos"], d["mass"], vel=d["vel"], m=3)
+    want = solve_rvir(grid, centers, rgtp, thr)
+
+    mesh = make_mesh(2, 4)
+    sgrid = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
+                               mesh=mesh)
+    # small fused_b2/k0_cap keep the CPU tier-2 arrays sane; fused=True
+    # forces the fused round below its G >= 2048 default gate
+    got = solve_rvir_sharded(mesh, sgrid, centers, rgtp, thr, fused=True,
+                             fused_b2=8, k0_cap=1024)
+    np.testing.assert_array_equal(got.code, want.code)
+    np.testing.assert_allclose(got.mvir, want.mvir, rtol=2e-6)
+    np.testing.assert_allclose(got.rvir, want.rvir, rtol=2e-6)
+    np.testing.assert_array_equal(got.j, want.j)
+
+
+def test_sharded_escalation_overflow_and_m3(data):
+    """Capacity-overflow escalation and the -3 give-up tier under a
+    multi-device mesh (the tiers the base fixtures deliberately avoid)."""
+    d, centers, rgtp = data
+    grid = build_grid(d["pos"], d["mass"], vel=d["vel"], m=3)
+    mesh = make_mesh(2, 4)
+    sgrid = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
+                               mesh=mesh)
+
+    # tiny k0_cap: every halo overflows tier 1 and climbs the x4 capacity
+    # ladder (smGrowList analog) before resolving
+    thr = 178.0
+    want = solve_rvir(grid, centers, rgtp, thr)
+    got = solve_rvir_sharded(mesh, sgrid, centers, rgtp, thr, k0_cap=128)
+    np.testing.assert_array_equal(got.code, want.code)
+    np.testing.assert_allclose(got.mvir, want.mvir, rtol=2e-6)
+    np.testing.assert_array_equal(got.j, want.j)
+
+    # threshold below the box's asymptotic enclosed density: the density
+    # never drops under it, so the ladder exhausts at the give-up bound and
+    # the gather climbs to the whole-box brute-force capacity -> -3
+    # (kd2.c:836-839), sharded == single-device
+    c3 = centers[:2]
+    r3 = rgtp[:2]
+    want3 = solve_rvir(grid, c3, r3, 1e-4)
+    got3 = solve_rvir_sharded(mesh, sgrid, c3, r3, 1e-4)
+    assert (want3.code == -3).any()
+    np.testing.assert_array_equal(got3.code, want3.code)
+    np.testing.assert_array_equal(got3.mvir, want3.mvir)
+
+
+def test_sharded_multi_threshold_matches_single(data):
+    """Multi-threshold solve on a (2,4) mesh == single-device engine.multi
+    for every threshold."""
+    from so_tpu.engine.multi import solve_rvir_multi
+    from so_tpu.parallel.mesh import solve_rvir_multi_sharded
+
+    d, centers, rgtp = data
+    thresholds = [178.0, 500.0, 80.0]
+    grid = build_grid(d["pos"], d["mass"], vel=d["vel"], m=3)
+    want = solve_rvir_multi(grid, centers, rgtp, thresholds)
+
+    mesh = make_mesh(2, 4)
+    sgrid = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
+                               mesh=mesh)
+    got = solve_rvir_multi_sharded(mesh, sgrid, centers, rgtp, thresholds)
+    np.testing.assert_array_equal(got.code, want.code)
+    np.testing.assert_allclose(got.mvir, want.mvir, rtol=2e-6)
+    np.testing.assert_allclose(got.rvir, want.rvir, rtol=2e-6)
+    np.testing.assert_array_equal(got.j, want.j)
+    np.testing.assert_allclose(got.d2cut, want.d2cut, rtol=2e-6)

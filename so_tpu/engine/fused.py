@@ -36,7 +36,7 @@ import numpy as np
 from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
 from .derived import NMASSPROFILE, NVCIRC, DerivedResult, derived_from_sorted
-from .members import _pack_rows
+from .members import _pack_prefix
 
 
 @partial(jax.jit, static_argnames=("level", "K", "S", "cap", "n_members",
@@ -78,15 +78,16 @@ def _fused_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
     der = derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir,
                               mvir, fball, n_members, species, grav)
 
-    # interior members: first j sorted rows (kdTagParticles walk order).
-    # Pack the sorted-row indices FIRST and translate only the packed
-    # vector to original indices — a (B, K) orig_idx[srow] gather lowers
-    # to a ~67M-element random row-gather that costs ~1 s/stage on TPU
-    # (the pattern the slab kernel exists to avoid); the packed gather is
-    # `cap` elements.
+    # interior members: first j sorted rows (kdTagParticles walk order) —
+    # a contiguous PREFIX of each sorted row, so the dense member vector
+    # is a computed gather (_pack_prefix), not a flat B*K sort. Original
+    # indices are translated only on the packed vector: a (B, K)
+    # orig_idx[srow] gather lowers to a ~67M-element random row-gather
+    # costing ~1 s/stage on TPU.
     interior = (slot < j[:, None]) & jnp.isfinite(d2_s) & (srow >= 0)
-    rows_masked = jnp.where(interior, srow, -1)
-    packed_rows, counts = _pack_rows(rows_masked, cap)
+    counts = jnp.minimum(j.astype(jnp.int32), n_in)
+    packed_rows, counts = _pack_prefix(jnp.where(interior, srow, -1),
+                                       counts, cap)
     packed = jnp.where(packed_rows >= 0,
                        grid.orig_idx[jnp.clip(packed_rows, 0, grid.n - 1)],
                        -1)
@@ -103,7 +104,7 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                         mvir: np.ndarray, host_mv: np.ndarray,
                         n_members: int = 8, species: tuple = (),
                         grav: float = 1.0, s_max: int = 11,
-                        slot_budget: int = 1 << 25, cap_hint=None):
+                        slot_budget: int = 1 << 25):
     """One fused pass over the solved halos: (members, vcm, DerivedResult).
 
     Same escalation shape as engine.members.extract_members /
@@ -142,16 +143,18 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
         pad0 = int(min(8192, 2 * CHUNK * S_est ** 3))
     else:
         pad0 = 256
+    # capacity from the interior count alone: ~8x volume Rvir -> 2*Rvir
+    # plus margin. The solve's kcap hint is deliberately NOT a floor here
+    # (the 2*Rvir ball needs a different capacity than the solve ball, and
+    # flooring at the tier-2 K2 pushed ~200 mid-size halos per 16k batch
+    # into 4x-too-big XLA-fallback tiers); a rare underestimate costs one
+    # cached-retry dispatch via the overflow loop. Power-of-2 tiers: the
+    # pow-4 ladder skipped K=32768, the largest slab-path tier.
     est = j * 12 + pad0
-    if cap_hint is not None:
-        # the solve stage's resolving capacity bounds any re-gather at a
-        # radius <= its own; the 2*Rvir ball can exceed that radius, so the
-        # hint is a floor, not a ceiling
-        est = np.maximum(est, np.asarray(cap_hint, np.int64))
-    need_cap = 4 ** np.ceil(np.log2(np.maximum(est, 256)) / 2) \
-        .astype(np.int64)
+    need_cap = 2 ** np.ceil(np.log2(np.maximum(est, 256))).astype(np.int64)
     todo = np.arange(G)
     guard = 0
+    mvh = np.asarray(host_mv, np.float32)   # per-particle m*v
     import os
     import sys
     from time import perf_counter as _pc
@@ -182,9 +185,12 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                     max(int(j[part].sum()) + 8 * part.size, 1024))))
                 cap = int(min(cap, B * K))
                 t0 = _pc() if dbg else 0.0
-                # 4-channel gathers fit the slab VMEM window to K=2^14
+                # slab VMEM ceiling: 5 output rows (no species) fit the
+                # double-buffered window to K=2^15 (~10.6 MB); the 6-row
+                # species variant stays at 2^14
+                k_slab = (1 << 15) if not species else (1 << 14)
                 packed, counts, dblock = _fused_stage(
-                    _stage_grid(grid, K if K <= (1 << 14) else (1 << 30)),
+                    _stage_grid(grid, K if K <= k_slab else (1 << 30)),
                     level, K, S, cap, n_members, species,
                     jnp.asarray(c_pad), jnp.asarray(r_pad),
                     jnp.asarray(j_pad), jnp.asarray(m_pad), grav32)
@@ -201,29 +207,38 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                           f"level={level} n={part.size} cap={cap} "
                           f"dt={(_pc() - t0) * 1e3:.1f}ms",
                           file=sys.stderr, flush=True)
-                seg = np.cumsum(counts)
+                # vectorized scatter to catalog order (a per-halo Python
+                # loop here cost ~1 s of host time at B=4096)
+                counts_p = counts[:part.size]
                 ovf = dblock[:, 0] > 0
+                okm = ~ovf
+                idx = part[okm]
+                derived.vcirc[idx] = dblock[okm, 1:9]
+                derived.rmass[idx] = dblock[okm, 9:11]
+                derived.rmax[idx] = dblock[okm, 11]
+                derived.vmax[idx] = dblock[okm, 12]
+                for si, sp in enumerate(species):
+                    derived.profiles[sp][idx] = \
+                        dblock[okm, 13 + 16 * si:29 + 16 * si]
+
+                seg = np.cumsum(counts_p)
+                rows64 = packed[:seg[-1]].astype(np.int64)
+                pieces = np.split(rows64, seg[:-1])   # views, no copies
                 for i, h in enumerate(part):
                     if ovf[i]:
                         need_cap[h] = min(need_cap[h] * 4,
                                           2 * _k_limit(grid, s_max))
                         next_todo.append(h)
-                        continue
-                    lo_i = seg[i - 1] if i else 0
-                    out_members[h] = packed[lo_i:lo_i + min(counts[i], j[h])] \
-                        .astype(np.int64)
-                    derived.vcirc[h] = dblock[i, 1:9]
-                    derived.rmass[h] = dblock[i, 9:11]
-                    derived.rmax[h] = dblock[i, 11]
-                    derived.vmax[h] = dblock[i, 12]
-                    for si, sp in enumerate(species):
-                        derived.profiles[sp][h] = \
-                            dblock[i, 13 + 16 * si:29 + 16 * si]
-        todo = np.asarray(next_todo, np.int64)
+                    else:
+                        out_members[h] = pieces[i]
 
-    # group mean velocity from the member rows (_VcmParticles)
-    mvh = np.asarray(host_mv, np.float32)
-    for h, lst in enumerate(out_members):
-        if lst is not None and lst.size:
-            vcm[h] = mvh[lst].sum(axis=0, dtype=np.float32) / mvir[h]
+                # group mean velocity from the member rows
+                # (_VcmParticles): one vectorized pass — exact f64 prefix
+                # differences instead of 4096 fancy-indexed f32 sums
+                w = np.cumsum(mvh[rows64].astype(np.float64), axis=0)
+                w = np.vstack([np.zeros((1, 3)), w])
+                sums = w[seg] - w[np.r_[0, seg[:-1]]]
+                vcm[idx] = (sums[okm] / mvir[idx, None].astype(np.float64)) \
+                    .astype(np.float32)
+        todo = np.asarray(next_todo, np.int64)
     return out_members, vcm, derived

@@ -22,20 +22,28 @@ from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
 
 
-def _pack_rows(orig, cap: int):
+def _pack_prefix(rows_sorted, counts, cap: int):
     """Compact the valid member rows of the (B, K) slot matrix into one
     dense vector, preserving (halo, ascending-distance) order. Fetching
     B*K slots over a ~25 MB/s remote-device tunnel dominated the whole
     pipeline (e.g. 268 MB for a 4096x16384 stage); the compacted fetch is
-    ~sum(j) entries. ``cap`` is a static power-of-two >= total valid."""
-    B, K = orig.shape
-    flat = orig.reshape(-1)
-    ok = flat >= 0
-    key = jnp.where(ok, jnp.arange(flat.shape[0], dtype=jnp.int32),
-                    jnp.int32(1 << 30))
-    _, packed = jax.lax.sort((key, flat), num_keys=1, is_stable=False)
-    counts = ok.reshape(B, K).sum(axis=1).astype(jnp.int32)
-    return packed[:cap], counts
+    ~sum(j) entries. ``cap`` is a static power-of-two >= total valid.
+
+    Each row's valid entries are its contiguous PREFIX (slots
+    [0, counts[b]) of the distance-sorted row), so the dense vector is a
+    computed gather — the flat B*K compaction sort this replaces cost
+    ~165 ms at 67M slots on v5e (experiments/sort_microbench.py)."""
+    B, K = rows_sorted.shape
+    counts = counts.astype(jnp.int32)
+    cum = jnp.cumsum(counts)
+    start = cum - counts
+    p = jnp.arange(cap, dtype=jnp.int32)
+    row = jnp.searchsorted(cum, p, side="right").astype(jnp.int32)
+    rowc = jnp.clip(row, 0, B - 1)
+    col = p - start[rowc]
+    valid = p < cum[-1]
+    vals = rows_sorted.reshape(-1)[rowc * K + jnp.clip(col, 0, K - 1)]
+    return jnp.where(valid, vals, -1), counts
 
 
 @partial(jax.jit, static_argnames=("level", "K", "S", "cap", "with_mv"))
@@ -70,8 +78,12 @@ def _members_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
             vcm = jnp.zeros((centers.shape[0], 3), jnp.float32)
     # pack first, translate after: orig_idx[(B, K) rows] is a huge random
     # row-gather (~1 s/stage at 67M slots on TPU); orig_idx[(cap,) rows]
-    # is negligible
-    packed_rows, counts = _pack_rows(srow, cap)
+    # is negligible. The valid member slots are the contiguous prefix of
+    # each distance-sorted row (interior = slot < j and hits sort finite-
+    # first), so the prefix pack applies — no flat sort.
+    counts = jnp.minimum(j.astype(jnp.int32), g.n_in)
+    packed_rows, counts = _pack_prefix(jnp.where(interior, srow, -1),
+                                       counts, cap)
     packed = jnp.where(packed_rows >= 0,
                        grid.orig_idx[jnp.clip(packed_rows, 0, grid.n - 1)],
                        -1)

@@ -223,8 +223,7 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
                 solve.j[ok], solve.mvir[ok],
                 host_mv=particles.vel * particles.mass[:, None],
                 n_members=params.n_members, species=tuple(params.species),
-                grav=params.grav,
-                cap_hint=(solve.kcap[ok] if solve.kcap is not None else None))
+                grav=params.grav)
             members = [None] * catalog.n
             for slot, h in enumerate(np.nonzero(ok)[0]):
                 members[h] = members_ok[slot]

@@ -164,6 +164,11 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
         if guard > 64:
             raise RuntimeError("fused member/derived escalation runaway")
         next_todo = []
+        # dispatch every capacity tier before syncing any of them: the
+        # device serializes the programs, but the ~25-45 ms tunnel fetch
+        # round-trips overlap with the next tier's execution (the tail
+        # tiers are round-trip-bound, ~100 ms each mostly wait)
+        pending = []
         for capacity in np.unique(need_cap[todo]):
             sel = todo[need_cap[todo] == capacity]
             K = int(min(capacity, max(512, _k_limit(grid, s_max))))
@@ -189,56 +194,59 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                 # double-buffered window to K=2^15 (~10.6 MB); the 6-row
                 # species variant stays at 2^14
                 k_slab = (1 << 15) if not species else (1 << 14)
-                packed, counts, dblock = _fused_stage(
+                out_dev = _fused_stage(
                     _stage_grid(grid, K if K <= k_slab else (1 << 30)),
                     level, K, S, cap, n_members, species,
                     jnp.asarray(c_pad), jnp.asarray(r_pad),
                     jnp.asarray(j_pad), jnp.asarray(m_pad), grav32)
-                counts = np.asarray(counts)
-                if int(counts.sum()) > cap:
-                    need_cap[part] = np.minimum(need_cap[part] * 4,
-                                                2 * _k_limit(grid, s_max))
-                    next_todo.extend(part)
-                    continue
-                packed = np.asarray(packed)
-                dblock = np.asarray(dblock)[:part.size]
-                if dbg:
-                    print(f"so_tpu[fused]: stage B={B} K={K} S={S} "
-                          f"level={level} n={part.size} cap={cap} "
-                          f"dt={(_pc() - t0) * 1e3:.1f}ms",
-                          file=sys.stderr, flush=True)
-                # vectorized scatter to catalog order (a per-halo Python
-                # loop here cost ~1 s of host time at B=4096)
-                counts_p = counts[:part.size]
-                ovf = dblock[:, 0] > 0
-                okm = ~ovf
-                idx = part[okm]
-                derived.vcirc[idx] = dblock[okm, 1:9]
-                derived.rmass[idx] = dblock[okm, 9:11]
-                derived.rmax[idx] = dblock[okm, 11]
-                derived.vmax[idx] = dblock[okm, 12]
-                for si, sp in enumerate(species):
-                    derived.profiles[sp][idx] = \
-                        dblock[okm, 13 + 16 * si:29 + 16 * si]
+                pending.append((part, K, S, level, cap, t0, out_dev))
 
-                seg = np.cumsum(counts_p)
-                rows64 = packed[:seg[-1]].astype(np.int64)
-                pieces = np.split(rows64, seg[:-1])   # views, no copies
-                for i, h in enumerate(part):
-                    if ovf[i]:
-                        need_cap[h] = min(need_cap[h] * 4,
-                                          2 * _k_limit(grid, s_max))
-                        next_todo.append(h)
-                    else:
-                        out_members[h] = pieces[i]
+        for part, K, S, level, cap, t0, (packed, counts, dblock) in pending:
+            counts = np.asarray(counts)
+            if int(counts.sum()) > cap:
+                need_cap[part] = np.minimum(need_cap[part] * 4,
+                                            2 * _k_limit(grid, s_max))
+                next_todo.extend(part)
+                continue
+            packed = np.asarray(packed)
+            dblock = np.asarray(dblock)[:part.size]
+            if dbg:
+                print(f"so_tpu[fused]: stage K={K} S={S} "
+                      f"level={level} n={part.size} cap={cap} "
+                      f"dt={(_pc() - t0) * 1e3:.1f}ms",
+                      file=sys.stderr, flush=True)
+            # vectorized scatter to catalog order (a per-halo Python
+            # loop here cost ~1 s of host time at B=4096)
+            counts_p = counts[:part.size]
+            ovf = dblock[:, 0] > 0
+            okm = ~ovf
+            idx = part[okm]
+            derived.vcirc[idx] = dblock[okm, 1:9]
+            derived.rmass[idx] = dblock[okm, 9:11]
+            derived.rmax[idx] = dblock[okm, 11]
+            derived.vmax[idx] = dblock[okm, 12]
+            for si, sp in enumerate(species):
+                derived.profiles[sp][idx] = \
+                    dblock[okm, 13 + 16 * si:29 + 16 * si]
 
-                # group mean velocity from the member rows
-                # (_VcmParticles): one vectorized pass — exact f64 prefix
-                # differences instead of 4096 fancy-indexed f32 sums
-                w = np.cumsum(mvh[rows64].astype(np.float64), axis=0)
-                w = np.vstack([np.zeros((1, 3)), w])
-                sums = w[seg] - w[np.r_[0, seg[:-1]]]
-                vcm[idx] = (sums[okm] / mvir[idx, None].astype(np.float64)) \
-                    .astype(np.float32)
+            seg = np.cumsum(counts_p)
+            rows64 = packed[:seg[-1]].astype(np.int64)
+            pieces = np.split(rows64, seg[:-1])   # views, no copies
+            for i, h in enumerate(part):
+                if ovf[i]:
+                    need_cap[h] = min(need_cap[h] * 4,
+                                      2 * _k_limit(grid, s_max))
+                    next_todo.append(h)
+                else:
+                    out_members[h] = pieces[i]
+
+            # group mean velocity from the member rows
+            # (_VcmParticles): one vectorized pass — exact f64 prefix
+            # differences instead of 4096 fancy-indexed f32 sums
+            w = np.cumsum(mvh[rows64].astype(np.float64), axis=0)
+            w = np.vstack([np.zeros((1, 3)), w])
+            sums = w[seg] - w[np.r_[0, seg[:-1]]]
+            vcm[idx] = (sums[okm] / mvir[idx, None].astype(np.float64)) \
+                .astype(np.float32)
         todo = np.asarray(next_todo, np.int64)
     return out_members, vcm, derived

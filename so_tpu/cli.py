@@ -39,7 +39,7 @@ so_tpu -i <SKID .gtp file> [-o <outfilebase>] [([-dark] [-gas] [-star]) || [-all
       [-cx <xCenter>]  [-cy <yCenter>]  [-cz <zCenter>]
       [-u <fMassUnit> <fMpcUnit>]
       [--tipsy <snapshot>] [--verbose] [--profile <trace-dir>]
-      [--deltas d1,d2,...] [--checkpoint <state.npz>]
+      [--deltas d1,d2,...] [--checkpoint <state.npz>] [--mesh HxP]
 
 Spherical-overdensity halo characterization (TPU-native engine). For every
 group center in the input .gtp catalog, finds the smallest radius R inside
@@ -118,6 +118,7 @@ def main(argv=None) -> int:
     profile_dir = None
     checkpoint = None
     deltas = None
+    mesh_shape = None
 
     def need(i):
         if i >= len(argv):
@@ -211,6 +212,18 @@ def main(argv=None) -> int:
             # full output set per threshold (<base>.d<delta>.*), all solved
             # against shared gathers (engine/multi.py)
             i += 1; deltas = [ffloat(x) for x in need(i).split(",")]; i += 1
+        elif a == "--mesh":
+            # multi-chip extension: HxP (halo x part) device mesh — solve,
+            # member extraction, and derived quantities run sharded over
+            # the attached devices (parallel/mesh.py run_so_sharded)
+            i += 1
+            try:
+                mesh_shape = tuple(int(x) for x in need(i).split("x"))
+                assert len(mesh_shape) == 2 and min(mesh_shape) >= 1
+            except (ValueError, AssertionError):
+                sys.stderr.write("--mesh expects HxP, e.g. --mesh 2x4\n")
+                raise SystemExit(1)
+            i += 1
         else:
             usage()
 
@@ -316,6 +329,21 @@ def main(argv=None) -> int:
             dstr = ("%g" % d).replace("+", "")
             write_outputs(f"{out_base}.d{dstr}", run, thr, True)
         solve_seconds = runs[-1].solve_seconds if runs else 0.0
+    elif mesh_shape is not None:
+        import jax
+
+        from .parallel import make_mesh
+        from .parallel.mesh import run_so_sharded
+
+        n_dev = mesh_shape[0] * mesh_shape[1]
+        if len(jax.devices()) < n_dev:
+            sys.stderr.write(f"--mesh {mesh_shape[0]}x{mesh_shape[1]} needs "
+                             f"{n_dev} devices, found {len(jax.devices())}\n")
+            raise SystemExit(1)
+        mesh = make_mesh(*mesh_shape, devices=jax.devices()[:n_dev])
+        run = run_so_sharded(particles, catalog, params, mesh)
+        write_outputs(out_base, run, f_threshold, b_threshold)
+        solve_seconds = run.solve_seconds
     else:
         run = run_so(particles, catalog, params)
         write_outputs(out_base, run, f_threshold, b_threshold)

@@ -151,8 +151,15 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                     mvir: np.ndarray, j_interior: np.ndarray,
                     eligible: np.ndarray, n_members: int = 8,
                     species: tuple = (), grav: float = 1.0,
-                    s_max: int = 11, slot_budget: int = 1 << 25) -> DerivedResult:
-    """Batched derived quantities for all eligible halos; zeros otherwise."""
+                    s_max: int = 11, slot_budget: int = 1 << 25,
+                    stage_fn=None) -> DerivedResult:
+    """Batched derived quantities for all eligible halos; zeros otherwise.
+
+    ``stage_fn(level, K, S, n_members, species, centers, rvir, mvir,
+    grav)`` overrides the single-device stage with the same packed-block
+    contract as _derived_stage — the multi-device path
+    (parallel.mesh.sharded_derived_fn) injects its shard_map stage here.
+    """
     from .solver import (_chunk_for, _k_limit, _pad_b, _pick_level_span, _pad_to_bucket,
                          _stage_grid)
 
@@ -204,14 +211,19 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                 import os, sys
                 from time import perf_counter as _pc
                 t0 = _pc() if os.environ.get("SO_TPU_DEBUG") else 0.0
-                # 3-channel gathers (d2, mass, meta) fit the slab
-                # kernel's VMEM window up to K=2^16 (the global
-                # K_SLAB_MAX=2^15 is sized for wider stages)
-                o = _derived_stage(_stage_grid(grid, K if K <= (1 << 16)
-                                               else (1 << 30)),
-                                   level, K, S, n_members, species,
-                                   jnp.asarray(c_pad), jnp.asarray(r_pad),
-                                   jnp.asarray(m_pad), grav32)
+                if stage_fn is not None:
+                    o = stage_fn(level, K, S, n_members, species,
+                                 jnp.asarray(c_pad), jnp.asarray(r_pad),
+                                 jnp.asarray(m_pad), grav32)
+                else:
+                    # 3-channel gathers (d2, mass, meta) fit the slab
+                    # kernel's VMEM window up to K=2^16 (the global
+                    # K_SLAB_MAX=2^15 is sized for wider stages)
+                    o = _derived_stage(_stage_grid(grid, K if K <= (1 << 16)
+                                                   else (1 << 30)),
+                                       level, K, S, n_members, species,
+                                       jnp.asarray(c_pad), jnp.asarray(r_pad),
+                                       jnp.asarray(m_pad), grav32)
                 o = np.asarray(o)[:part.size]
                 if os.environ.get("SO_TPU_DEBUG"):
                     print(f"so_tpu[derived]: stage B={B} K={K} S={S} "

@@ -556,6 +556,130 @@ def solve_rvir_multi_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp,
                             n_members=n_members, stage_fn=stage, **kw)
 
 
+def sharded_derived_fn(mesh: Mesh, sgrid: ShardedGrid):
+    """Adapter matching engine.derived.compute_derived's stage_fn contract
+    (packed (B, 13 + 16*nspecies) block, column 0 = overflow)."""
+    n_halo = mesh.shape["halo"]
+
+    def stage(level, K, S, n_members, species, centers, rvir, mvir, grav):
+        B = centers.shape[0]
+        pad = (-B) % n_halo
+        if pad:
+            zf = lambda a, fill: jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+            centers = zf(centers, 0.0)
+            rvir = zf(rvir, 1e-30)
+            mvir = zf(mvir, 0.0)
+        out = derived_stage_sharded(mesh, sgrid, level, K, S, n_members,
+                                    tuple(species), centers, rvir, mvir,
+                                    grav)
+        block = jnp.concatenate(
+            [out["overflow"].astype(jnp.float32)[:, None], out["vcirc"],
+             out["rmass"], out["rmax"][:, None], out["vmax"][:, None]]
+            + [out["profiles"][sp] for sp in species], axis=1)
+        return block[:B]
+
+    return stage
+
+
+def run_so_sharded(particles, catalog, params, mesh: Mesh):
+    """Multi-device end-to-end pipeline: the run_so stage order with every
+    device phase sharded over (halo x part) — solve, member extraction,
+    and derived quantities run under shard_map; the mass-ordered conflict
+    pass stays host-side by design. Single-process multi-chip meshes
+    (one-host pods / the virtual-CPU test mesh); the CLI's --mesh flag
+    routes here."""
+    import time as _time
+
+    from ..engine.conflicts import resolve_conflicts
+    from ..engine.derived import compute_derived
+    from ..engine.pipeline import SORun
+    from ..engine.recenter import recenter_most_bound
+    from ..numerics import indexx
+    from ..profiling import PhaseTimer, profile_trace
+    from ..stats import compute_stats
+
+    timer = PhaseTimer()
+    with profile_trace(params.profile_dir):
+        with timer.phase("sharded grid build"):
+            sgrid = build_sharded_grid(
+                particles.pos, particles.mass, vel=particles.vel,
+                phi=particles.phi, ptype=particles.ptype_all(),
+                mark=(particles.mark if particles.mark is not None
+                      else None),
+                period=params.period, center=params.center,
+                m=params.grid_m, mesh=mesh)
+
+        centers = np.asarray(catalog.pos, np.float32).copy()
+        rgtp = np.asarray(catalog.rgtp, np.float32)
+        if params.b_pot:
+            with timer.phase("recenter (-pot)"):
+                # single-device recenter over a host-side grid view: the
+                # -pot pass reads only (pos, phi) and runs once
+                from ..ops.grid import build_grid
+
+                g0 = build_grid(particles.pos, particles.mass,
+                                phi=particles.phi, period=params.period,
+                                center=params.center, m=params.grid_m)
+                centers = recenter_most_bound(g0, centers, rgtp)
+                catalog.pos = centers
+
+        t0 = _time.perf_counter()
+        with timer.phase("R_Delta solve (sharded)"):
+            solve = solve_rvir_sharded(mesh, sgrid, centers, rgtp,
+                                       params.threshold,
+                                       n_members=params.n_members)
+
+        ok = solve.code == 0
+        with timer.phase("member extraction (sharded)"):
+            members_ok, vcm_ok = extract_members_sharded(
+                mesh, sgrid, centers[ok], solve.d2cut[ok], solve.j[ok],
+                solve.mvir[ok])
+            members = [None] * catalog.n
+            for slot, h in enumerate(np.nonzero(ok)[0]):
+                members[h] = members_ok[slot]
+            solve.vcm[ok] = vcm_ok
+
+        with timer.phase("conflict protocol"):
+            order = indexx(np.asarray(catalog.gtp_mass, np.float32))
+            conflicts = resolve_conflicts(catalog.index, centers,
+                                          solve.mvir, solve.rvir,
+                                          solve.code, order, members,
+                                          particles.n)
+
+        eligible = ok & ~conflicts.slurped_own
+        with timer.phase("derived quantities (sharded)"):
+            class _GridProxy:
+                m = sgrid.m
+                n = int(sgrid.nshards * sgrid.n_local)
+                period = sgrid.period
+                soa8t = sgrid.soa8t
+
+                def ncell(self, level):
+                    return 1 << (sgrid.m - level)
+
+            derived = compute_derived(
+                _GridProxy(), centers, solve.rvir, solve.mvir, solve.j,
+                eligible, n_members=params.n_members,
+                species=tuple(params.species), grav=params.grav,
+                stage_fn=sharded_derived_fn(mesh, sgrid))
+
+        with timer.phase("stats"):
+            stats = compute_stats(np.asarray(particles.mass),
+                                  conflicts.igrp, conflicts.n_subsumed,
+                                  conflicts.n_ignored, conflicts.mvir,
+                                  conflicts.groups_removed,
+                                  conflicts.groups_slurped)
+
+    run = SORun(catalog=catalog, solve=solve, conflicts=conflicts,
+                derived=derived, stats=stats, order=order)
+    run.members = members
+    run.solve_seconds = _time.perf_counter() - t0
+    if params.verbose:
+        timer.report()
+    return run
+
+
 def sharded_fused_stage_fn(mesh: Mesh, sgrid: ShardedGrid):
     """Adapter matching engine.solver's fused_stage_fn contract: tier-1
     rows [0:B] + tier-2 rows [B:] with global halo ids — the driver's

@@ -273,3 +273,47 @@ def test_sharded_multi_threshold_matches_single(data):
     np.testing.assert_allclose(got.rvir, want.rvir, rtol=2e-6)
     np.testing.assert_array_equal(got.j, want.j)
     np.testing.assert_allclose(got.d2cut, want.d2cut, rtol=2e-6)
+
+
+def test_cli_mesh_flag_matches_default(tmp_path):
+    """The --mesh HxP CLI runs the sharded end-to-end pipeline and must
+    reproduce the single-device CLI outputs exactly. Deliberately tiny
+    and species-free: every extra capacity tier is another multi-10s
+    shard_map compile on the CPU backend."""
+    import sys as _sys
+
+    HERE2 = os.path.dirname(os.path.abspath(__file__))
+    _sys.path.insert(0, HERE2)
+    from fixtures import write_gtp, write_snapshot
+
+    from so_tpu.cli import main
+
+    rng = np.random.default_rng(29)
+    clumps = [dict(center=(0.1, 0.0, -0.1), n=900, rmax=0.05,
+                   mass_total=0.18),
+              dict(center=(-0.25, 0.3, 0.2), n=700, rmax=0.04,
+                   mass_total=0.09)]
+    d = make_clumpy_box(rng, n_background=1500, clumps=clumps)
+    workdir = str(tmp_path)
+    write_snapshot(f"{workdir}/snap.bin", d)
+    write_gtp(f"{workdir}/cat.gtp", [c["center"] for c in clumps],
+              [0.045, 0.04], [0.18, 0.09])
+    base = ["-i", f"{workdir}/cat.gtp", "--tipsy", f"{workdir}/snap.bin",
+            "-grp", "-gtp", "-subsumed", "-ignored"]
+    assert main(base + ["-o", f"{workdir}/single"]) == 0
+    assert main(base + ["-o", f"{workdir}/meshed", "--mesh", "2x4"]) == 0
+    for ext in ("sovcirc", "sogrp", "sosub", "soign"):
+        a = f"{workdir}/single.{ext}"
+        b = f"{workdir}/meshed.{ext}"
+        la = [l for l in open(a, "rb").read().splitlines()
+              if not (l.startswith(b"# Run on") or b"written to" in l)]
+        lb = [l for l in open(b, "rb").read().splitlines()
+              if not (l.startswith(b"# Run on") or b"written to" in l)]
+        assert la == lb, ext
+    # .sogtp carries vel = vcm, whose f32 summation association legitimately
+    # differs between the sharded (device merge) and fused (f64 prefix)
+    # paths — compare with field tolerances instead of bytes
+    from util_compare import compare_sogtp
+    errs = compare_sogtp(f"{workdir}/single.sogtp", f"{workdir}/meshed.sogtp",
+                         False)
+    assert not errs, "\n".join(errs[:4])

@@ -319,6 +319,9 @@ def main(argv=None) -> int:
                       b_pot=b_pot, species=species, grav=grav, verbose=verbose,
                       profile_dir=profile_dir, checkpoint=checkpoint)
 
+    if deltas is not None and mesh_shape is not None:
+        sys.stderr.write("--mesh with --deltas is not supported yet\n")
+        raise SystemExit(1)
     if deltas is not None:
         from .engine.pipeline import run_so_multi
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.tipsy import DARK, GAS, STAR, MARK
+from ..io.tipsy import MARK
 from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
 from ..ops.seqsum import seq_cumsum

@@ -17,20 +17,18 @@ sequential, and it runs vectorized per halo on the host.
 from __future__ import annotations
 
 import os
-import sys
 import time as _time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..io.catalogs import GroupCatalog
-from ..io.tipsy import DARK, GAS, STAR, MARK, ParticleSet
+from ..io.tipsy import ParticleSet
 from ..numerics import indexx
 from ..ops.grid import CellGrid, build_grid
 from ..stats import RunStats, compute_stats
 from .conflicts import ConflictState, resolve_conflicts
 from .derived import DerivedResult, compute_derived
-from .members import extract_members
 from .recenter import recenter_most_bound
 from .solver import SolveResult, solve_rvir
 

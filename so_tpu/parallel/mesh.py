@@ -556,6 +556,92 @@ def solve_rvir_multi_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp,
                             n_members=n_members, stage_fn=stage, **kw)
 
 
+@partial(jax.jit, static_argnames=("mesh", "level", "K", "S"))
+def recenter_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
+                           K: int, S: int, centers, radii):
+    """Sharded -pot recentring (kdRvir's bPot block, kd2.c:749-761): each
+    particle shard gathers its own candidates, the (phi, d2, position)
+    triples are all_gathered over 'part', and the min-phi argmin runs on
+    the merged list. Ties break in (shard, slot) order — backend-specific
+    order, as documented in engine/recenter.py."""
+    def body(sg: ShardedGrid, centers, radii):
+        grid = sg.local_cellgrid()
+        g = ragged_ball_gather(grid, level, centers, radii, radii * radii,
+                               K, S, sort=False)
+        ok = jnp.isfinite(g.d2)
+        phi_l = jnp.where(ok, grid.phi[g.idx], jnp.inf)
+        pos_l = grid.pos[g.idx]
+        n_in_l = ok.sum(axis=1).astype(jnp.int32)
+
+        ag = lambda a, ax: jax.lax.all_gather(a, "part", axis=ax, tiled=True)
+        phi = ag(phi_l, 1)
+        pos = ag(pos_l, 1)
+        n_in = jax.lax.psum(n_in_l, "part")
+        overflow = jax.lax.psum(g.overflow.astype(jnp.int32), "part") > 0
+        rows = jnp.arange(centers.shape[0])
+        amin = jnp.argmin(phi, axis=1)
+        best = pos[rows, amin]
+        new_centers = jnp.where((n_in > 0)[:, None], best, centers)
+        return dict(centers=new_centers, n_in=n_in, overflow=overflow)
+
+    specs_grid = ShardedGrid(
+        sgrid.m, P(), P(), *(P("part"),) * 7,
+        tuple(P("part") for _ in sgrid.starts),
+        None if sgrid.soa8t is None else P("part"))
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(specs_grid, P("halo"), P("halo")),
+        out_specs={k: P("halo") for k in ("centers", "n_in", "overflow")},
+        check_vma=False,
+    )(sgrid, centers, radii)
+
+
+def recenter_most_bound_sharded(mesh: Mesh, sgrid: ShardedGrid, centers,
+                                rgtp, k0_cap: int = 4096, s_max: int = 11):
+    """Multi-device recenter_most_bound: same escalation shape."""
+    from ..engine.solver import _k_limit, _pad_to_bucket, _pick_level_span
+
+    class _GridProxy:
+        m = sgrid.m
+        n = int(sgrid.nshards * sgrid.n_local)
+        period = sgrid.period
+        soa8t = None          # XLA per-shard gathers inside shard_map
+
+        def ncell(self, level):
+            return 1 << (sgrid.m - level)
+
+    proxy = _GridProxy()
+    n_halo = mesh.shape["halo"]
+    G = centers.shape[0]
+    centers = np.asarray(centers, np.float32)
+    radii_all = np.asarray(rgtp, np.float32)
+    out = centers.copy()
+    todo = np.arange(G)
+    capacity = k0_cap
+    while todo.size:
+        # per-shard capacity: the merged list holds nshards * K slots
+        K = int(min(capacity, _k_limit(proxy, s_max)))
+        radii = radii_all[todo]
+        level, S = _pick_level_span(
+            proxy, float(radii.max()) if radii.size else 0.0, s_max)
+        B = _pad_to_bucket(todo.size)
+        B += (-B) % n_halo
+        c_pad = np.zeros((B, 3), np.float32)
+        r_pad = np.zeros(B, np.float32)
+        c_pad[:todo.size] = centers[todo]
+        r_pad[:todo.size] = radii_all[todo]
+        res = recenter_stage_sharded(mesh, sgrid, level, K, S,
+                                     jnp.asarray(c_pad), jnp.asarray(r_pad))
+        nc = np.asarray(res["centers"])[:todo.size]
+        ovf = np.asarray(res["overflow"])[:todo.size]
+        out[todo[~ovf]] = nc[~ovf]
+        todo = todo[ovf]
+        capacity *= 4
+        if capacity > max(8 * _k_limit(proxy, s_max), k0_cap) and todo.size:
+            raise RuntimeError("sharded recentring escalation runaway")
+    return out
+
+
 def sharded_derived_fn(mesh: Mesh, sgrid: ShardedGrid):
     """Adapter matching engine.derived.compute_derived's stage_fn contract
     (packed (B, 13 + 16*nspecies) block, column 0 = overflow)."""
@@ -594,7 +680,6 @@ def run_so_sharded(particles, catalog, params, mesh: Mesh):
     from ..engine.conflicts import resolve_conflicts
     from ..engine.derived import compute_derived
     from ..engine.pipeline import SORun
-    from ..engine.recenter import recenter_most_bound
     from ..numerics import indexx
     from ..profiling import PhaseTimer, profile_trace
     from ..stats import compute_stats
@@ -613,15 +698,9 @@ def run_so_sharded(particles, catalog, params, mesh: Mesh):
         centers = np.asarray(catalog.pos, np.float32).copy()
         rgtp = np.asarray(catalog.rgtp, np.float32)
         if params.b_pot:
-            with timer.phase("recenter (-pot)"):
-                # single-device recenter over a host-side grid view: the
-                # -pot pass reads only (pos, phi) and runs once
-                from ..ops.grid import build_grid
-
-                g0 = build_grid(particles.pos, particles.mass,
-                                phi=particles.phi, period=params.period,
-                                center=params.center, m=params.grid_m)
-                centers = recenter_most_bound(g0, centers, rgtp)
+            with timer.phase("recenter (-pot, sharded)"):
+                centers = recenter_most_bound_sharded(mesh, sgrid, centers,
+                                                      rgtp)
                 catalog.pos = centers
 
         t0 = _time.perf_counter()

@@ -317,3 +317,21 @@ def test_cli_mesh_flag_matches_default(tmp_path):
     errs = compare_sogtp(f"{workdir}/single.sogtp", f"{workdir}/meshed.sogtp",
                          False)
     assert not errs, "\n".join(errs[:4])
+
+
+def test_sharded_recenter_matches_single(data):
+    """Sharded -pot recentring (all_gather merge + argmin) == the
+    single-device stage whenever phi values are distinct."""
+    from so_tpu.engine.recenter import recenter_most_bound
+    from so_tpu.parallel.mesh import recenter_most_bound_sharded
+
+    d, centers, rgtp = data
+    rng = np.random.default_rng(3)
+    phi = rng.uniform(-3.0, -0.1, d["pos"].shape[0]).astype(np.float32)
+    grid = build_grid(d["pos"], d["mass"], phi=phi, m=3)
+    want = recenter_most_bound(grid, centers, rgtp)
+
+    mesh = make_mesh(2, 4)
+    sgrid = build_sharded_grid(d["pos"], d["mass"], phi=phi, m=3, mesh=mesh)
+    got = recenter_most_bound_sharded(mesh, sgrid, centers, rgtp)
+    np.testing.assert_array_equal(got, want)

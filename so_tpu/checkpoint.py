@@ -20,14 +20,20 @@ def _digest_array(h, a) -> None:
     a = np.ascontiguousarray(a)
     h.update(repr((a.shape, a.dtype.str)).encode())
     if a.nbytes > (1 << 20):
-        # big arrays (snapshot-scale): head + tail + exact float64 sum —
-        # O(1) memory, catches truncation, permutation-with-substitution,
-        # and any single-element edit in the sampled spans
+        # big arrays (snapshot-scale): head + tail + a strided sample of
+        # ~256K interior bytes + the exact float64 sum — O(sample) memory
+        # (never a full-array copy), order-sensitive via the positioned
+        # samples, catches truncation and any edit touching a sampled
+        # byte or the sum
         b = a.reshape(-1).view(np.uint8)
         h.update(b[: 1 << 19].tobytes())
         h.update(b[-(1 << 19):].tobytes())
+        stride = max(1, b.size >> 18)
+        h.update(np.ascontiguousarray(b[::stride]).tobytes())
         if a.dtype.kind == "f":
-            h.update(np.float64(a.astype(np.float64).sum()).tobytes())
+            # sum without materializing a float64 copy (a 1024^3 run's
+            # pos array is ~13 GB; astype would transiently double it)
+            h.update(np.float64(a.sum(dtype=np.float64)).tobytes())
     else:
         h.update(a.tobytes())
 
@@ -38,11 +44,12 @@ def input_digest(particles, centers, rgtp, threshold: float,
     the checkpoint and re-checked on resume: resuming a solve state
     against a different snapshot/catalog/params would silently produce a
     garbage catalog otherwise (the solve arrays index into the particle
-    file by original position)."""
+    file by original position). Velocities are included because the
+    checkpointed vcm (written to .sogtp vel columns) depends on them."""
     import hashlib
 
     h = hashlib.sha256()
-    for a in (particles.pos, particles.mass, particles.phi,
+    for a in (particles.pos, particles.vel, particles.mass, particles.phi,
               np.asarray(centers, np.float32), np.asarray(rgtp, np.float32)):
         _digest_array(h, a)
     h.update(repr((np.float32(threshold).item(), int(n_members),

@@ -219,8 +219,9 @@ def main(argv=None) -> int:
             i += 1
             try:
                 mesh_shape = tuple(int(x) for x in need(i).split("x"))
-                assert len(mesh_shape) == 2 and min(mesh_shape) >= 1
-            except (ValueError, AssertionError):
+            except ValueError:
+                mesh_shape = ()
+            if len(mesh_shape) != 2 or min(mesh_shape) < 1:
                 sys.stderr.write("--mesh expects HxP, e.g. --mesh 2x4\n")
                 raise SystemExit(1)
             i += 1
@@ -321,6 +322,11 @@ def main(argv=None) -> int:
 
     if deltas is not None and mesh_shape is not None:
         sys.stderr.write("--mesh with --deltas is not supported yet\n")
+        raise SystemExit(1)
+    if checkpoint is not None and mesh_shape is not None:
+        # run_so_sharded has no resume wiring yet; failing loudly beats a
+        # run the user believes is checkpointed but is not
+        sys.stderr.write("--mesh with --checkpoint is not supported yet\n")
         raise SystemExit(1)
     if deltas is not None:
         from .engine.pipeline import run_so_multi

@@ -181,7 +181,8 @@ def fetch_sharded(arr) -> np.ndarray:
 def build_sharded_grid_segment(mesh, start: int, n_global: int, pos, mass,
                                vel=None, phi=None, ptype=None, mark=None,
                                period=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0),
-                               m: int | None = None, pallas: bool = False):
+                               m: int | None = None,
+                               pallas: bool | None = None):
     """Multi-controller ShardedGrid: each host grids only its own particle
     segment (read via io.tipsy.read_tipsy_segment over grid_segment) and
     the global arrays are assembled shard-by-shard — no host ever holds
@@ -233,6 +234,12 @@ def build_sharded_grid_segment(mesh, start: int, n_global: int, pos, mass,
     pos_s, mass_s, vel_s, phi_s, ptype_s, mark_s, perm_s, starts_s = out
     orig = jnp.take_along_axis(jnp.asarray(gidx), perm_s, axis=1)
 
+    if pallas is None:
+        # same backend auto-detection (+ SO_TPU_PALLAS=0/1 override) as
+        # the single-process build_sharded_grid
+        env = os.environ.get("SO_TPU_PALLAS", "auto")
+        pallas = (env == "1" if env in ("0", "1")
+                  else jax.default_backend() not in ("cpu",))
     soa_s = None
     if pallas:
         from ..ops.pallas_gather import pack_soa8t

@@ -91,6 +91,23 @@ class ShardedGrid:
                         None if self.soa8t is None else sq(self.soa8t))
 
 
+def grid_proxy(sgrid: ShardedGrid, with_slab: bool = True):
+    """Host-side stand-in for a CellGrid: just enough surface (m, n,
+    period, soa8t, ncell) for the engine escalation drivers' level/K/S
+    logic. ``with_slab=False`` hides the Pallas payload where the sharded
+    stage gathers via XLA inside shard_map."""
+    class _GridProxy:
+        m = sgrid.m
+        n = int(sgrid.nshards * sgrid.n_local)
+        period = sgrid.period
+        soa8t = sgrid.soa8t if with_slab else None
+
+        def ncell(self, level):
+            return 1 << (sgrid.m - level)
+
+    return _GridProxy()
+
+
 def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
                        period=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0),
                        m: int | None = None, mesh: Mesh | None = None,
@@ -413,7 +430,7 @@ def sharded_members_fn(mesh: Mesh, sgrid: ShardedGrid):
     driver via extract_members(stage_fn=...). Packing to the dense member
     vector happens host-side here: on locally-attached multi-chip meshes
     the (B, K) fetch is cheap, unlike the remote-tunnel single-chip case
-    the device-side _pack_rows optimizes."""
+    the device-side prefix pack (engine.members._pack_prefix) optimizes."""
     n_halo = mesh.shape["halo"]
 
     def stage(level, K, S, cap, centers, cover_r, d2cut, j, mvir):
@@ -443,16 +460,7 @@ def extract_members_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, d2cut,
     """Multi-device extract_members: same escalation driver, sharded stage."""
     from ..engine.members import extract_members
 
-    class _GridProxy:
-        m = sgrid.m
-        n = int(sgrid.nshards * sgrid.n_local)
-        period = sgrid.period
-        soa8t = sgrid.soa8t
-
-        def ncell(self, level):
-            return 1 << (sgrid.m - level)
-
-    return extract_members(_GridProxy(), centers, d2cut, j, mvir,
+    return extract_members(grid_proxy(sgrid), centers, d2cut, j, mvir,
                            stage_fn=sharded_members_fn(mesh, sgrid), **kw)
 
 
@@ -531,15 +539,6 @@ def solve_rvir_multi_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp,
     n_halo = mesh.shape["halo"]
     thr_dev = jnp.asarray(np.asarray(thresholds, np.float32))
 
-    class _GridProxy:
-        m = sgrid.m
-        n = int(sgrid.nshards * sgrid.n_local)
-        period = sgrid.period
-        soa8t = sgrid.soa8t
-
-        def ncell(self, level):
-            return 1 << (sgrid.m - level)
-
     def stage(level, K, S, nm, T, centers, radii):
         B = centers.shape[0]
         pad = (-B) % n_halo
@@ -552,7 +551,7 @@ def solve_rvir_multi_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp,
                                   centers, radii, thr_dev)
         return out[:, :B]
 
-    return solve_rvir_multi(_GridProxy(), centers, rgtp, thresholds,
+    return solve_rvir_multi(grid_proxy(sgrid), centers, rgtp, thresholds,
                             n_members=n_members, stage_fn=stage, **kw)
 
 
@@ -601,16 +600,9 @@ def recenter_most_bound_sharded(mesh: Mesh, sgrid: ShardedGrid, centers,
     """Multi-device recenter_most_bound: same escalation shape."""
     from ..engine.solver import _k_limit, _pad_to_bucket, _pick_level_span
 
-    class _GridProxy:
-        m = sgrid.m
-        n = int(sgrid.nshards * sgrid.n_local)
-        period = sgrid.period
-        soa8t = None          # XLA per-shard gathers inside shard_map
-
-        def ncell(self, level):
-            return 1 << (sgrid.m - level)
-
-    proxy = _GridProxy()
+    # XLA per-shard gathers inside shard_map: no slab payload in the
+    # level/K logic
+    proxy = grid_proxy(sgrid, with_slab=False)
     n_halo = mesh.shape["halo"]
     G = centers.shape[0]
     centers = np.asarray(centers, np.float32)
@@ -728,17 +720,8 @@ def run_so_sharded(particles, catalog, params, mesh: Mesh):
 
         eligible = ok & ~conflicts.slurped_own
         with timer.phase("derived quantities (sharded)"):
-            class _GridProxy:
-                m = sgrid.m
-                n = int(sgrid.nshards * sgrid.n_local)
-                period = sgrid.period
-                soa8t = sgrid.soa8t
-
-                def ncell(self, level):
-                    return 1 << (sgrid.m - level)
-
             derived = compute_derived(
-                _GridProxy(), centers, solve.rvir, solve.mvir, solve.j,
+                grid_proxy(sgrid), centers, solve.rvir, solve.mvir, solve.j,
                 eligible, n_members=params.n_members,
                 species=tuple(params.species), grav=params.grav,
                 stage_fn=sharded_derived_fn(mesh, sgrid))
@@ -789,16 +772,7 @@ def solve_rvir_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp, thr,
     """Multi-device solve_rvir: same escalation driver, sharded stage."""
     from ..engine import solver
 
-    class _GridProxy:
-        m = sgrid.m
-        n = int(sgrid.nshards * sgrid.n_local)
-        period = sgrid.period
-        soa8t = sgrid.soa8t   # signals the slab path to the level/K logic
-
-        def ncell(self, level):
-            return 1 << (sgrid.m - level)
-
-    proxy = _GridProxy()
     kw.setdefault("fused_stage_fn", sharded_fused_stage_fn(mesh, sgrid))
-    return solver.solve_rvir(proxy, centers, rgtp, thr, n_members=n_members,
+    return solver.solve_rvir(grid_proxy(sgrid), centers, rgtp, thr,
+                             n_members=n_members,
                              stage_fn=sharded_stage_fn(mesh, sgrid), **kw)

@@ -35,7 +35,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 256          # slab DMA chunk (rows); also the tail pad of the SoA
+import os as _os
+
+# slab DMA chunk (rows); also the tail pad of the SoA. Must be a multiple
+# of the 128-lane width (stores are lane-aligned at CHUNK granularity).
+# SO_TPU_CHUNK overrides for experiments: smaller chunks halve the
+# occupancy floor (ops matched via solver._pick_level min_occ), which
+# matters on dense boxes where the floor forces 4x-too-coarse levels
+# (docs/ROADMAP.md round-2 notes).
+CHUNK = int(_os.environ.get("SO_TPU_CHUNK", "256"))
+assert CHUNK % 128 == 0 and CHUNK > 0, CHUNK
 HPP = 8              # halos per grid program: 4 -> 8 gained 9% on v5e
 #                      (fewer program switches); 16 regressed (VMEM window
 #                      pressure) — measured on the 2M-particle bench

@@ -133,14 +133,12 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
     grav32 = jnp.float32(grav)
 
     if getattr(grid, "soa8t", None) is not None:
-        # slab footprint slack: each merged run wastes < 2*CHUNK slots to
+        # slab footprint slack: each merged run wastes < 2*chunk slots to
         # chunk alignment and a 2*Rvir ball at the chosen level covers at
-        # most S^3 cells, so S^3 * 2*CHUNK bounds the alignment waste —
+        # most S^3 cells, so S^3 * 2*chunk bounds the alignment waste —
         # a blanket 8192 pushed every halo into a 4x-larger sort tier
-        from ..ops.pallas_gather import CHUNK
-
         _, S_est = _pick_level_span(grid, 2.0 * float(np.max(rvir)), s_max)
-        pad0 = int(min(8192, 2 * CHUNK * S_est ** 3))
+        pad0 = int(min(8192, 2 * getattr(grid, "chunk", 256) * S_est ** 3))
     else:
         pad0 = 256
     # capacity from the interior count alone: ~8x volume Rvir -> 2*Rvir

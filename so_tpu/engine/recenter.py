@@ -57,13 +57,14 @@ def _recenter_stage_slab(grid: CellGrid, phi_soa, level: int, K: int, S: int,
     """Slab-kernel recenter: unsorted slotted (d2, phi, idx) channels, then
     a pure-VPU argmin — no K*logK sort, no per-row XLA gather."""
     from ..ops.gather import cell_ranges
-    from ..ops.pallas_gather import CHUNK, decode_idx, pallas_slab_gather
+    from ..ops.pallas_gather import decode_idx, pallas_slab_gather
 
     r2 = radii * radii
     st, cnt, q, total = cell_ranges(grid, level, centers, radii, r2, S,
-                                    align=CHUNK)
+                                    align=grid.chunk)
     out = pallas_slab_gather(phi_soa, st, cnt, q, centers, grid.period, r2,
-                             K, chans=("mass", "ilo", "ihi"))
+                             K, chans=("mass", "ilo", "ihi"),
+                             CHUNK=grid.chunk)
     d2 = out[:, 0]
     ok = jnp.isfinite(d2)
     phi = jnp.where(ok, out[:, 1], jnp.inf)
@@ -82,9 +83,9 @@ def _phi_payload(grid: CellGrid):
     from ..ops.pallas_gather import pack_soa8t
 
     n = grid.n
-    return jax.jit(pack_soa8t)(grid.pos, grid.phi,
-                               jnp.zeros((n, 3), jnp.float32), grid.ptype,
-                               grid.mark)
+    return jax.jit(pack_soa8t, static_argnames=("chunk",))(
+        grid.pos, grid.phi, jnp.zeros((n, 3), jnp.float32), grid.ptype,
+        grid.mark, chunk=grid.chunk)
 
 
 def recenter_most_bound(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,

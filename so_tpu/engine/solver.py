@@ -295,8 +295,7 @@ def _k_limit(grid, s_max: int) -> int:
     npart = grid.n
     extra = 0
     if getattr(grid, "soa8t", None) is not None:
-        from ..ops.pallas_gather import CHUNK
-        extra = (s_max ** 3) * CHUNK
+        extra = (s_max ** 3) * getattr(grid, "chunk", 256)
     return max(256, 1 << int(np.ceil(np.log2(max(npart + extra, 2)))))
 
 
@@ -309,8 +308,7 @@ def _pick_level(grid: CellGrid, rmax: float, s_max: int) -> int:
     """
     min_occ = 0
     if getattr(grid, "soa8t", None) is not None:
-        from ..ops.pallas_gather import CHUNK
-        min_occ = (3 * CHUNK) // 4
+        min_occ = (3 * getattr(grid, "chunk", 256)) // 4
     period = np.asarray(grid.period, np.float32)
     for g in range(grid.m + 1):
         cs = float(period.min()) / grid.ncell(g)

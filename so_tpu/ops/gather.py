@@ -202,7 +202,7 @@ def slab_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
     channels is a static tuple drawn from {"mass", "mv", "meta", "idx"};
     "mv" expands to three m*v components, "idx" to the exact source row.
     """
-    from .pallas_gather import CHUNK, decode_idx, pallas_slab_gather
+    from .pallas_gather import decode_idx, pallas_slab_gather
 
     kernel_chans = []
     for ch in channels:
@@ -218,10 +218,11 @@ def slab_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
             raise ValueError(ch)
 
     st, cnt, q, total = cell_ranges(grid, level, centers, radii, r2_mask, S,
-                                    align=CHUNK)
+                                    align=grid.chunk)
     overflow = total > K
     out = pallas_slab_gather(grid.soa8t, st, cnt, q, centers, grid.period,
-                             r2_mask, K, chans=tuple(kernel_chans))
+                             r2_mask, K, chans=tuple(kernel_chans),
+                             CHUNK=grid.chunk)
     d2 = out[:, 0, :]
     n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
 

@@ -65,8 +65,11 @@ class CellGrid:
     mark: jnp.ndarray           # (N,)  bool
     orig_idx: jnp.ndarray       # (N,)  i32 sorted-row -> original file order
     starts: tuple               # per level g=0..m: (8^(m-g)+1,) i32
-    soa8t: jnp.ndarray | None = None  # (8, N+CHUNK) payload for the Pallas
+    soa8t: jnp.ndarray | None = None  # (8, N+chunk) payload for the Pallas
     #                                   slab-gather kernel (None on CPU)
+    chunk: int = 256            # static: slab DMA chunk of the payload;
+    #                             also sets the occupancy floor of the
+    #                             level selection (solver._pick_level)
 
     @property
     def n(self) -> int:
@@ -82,11 +85,12 @@ class CellGrid:
         children = (self.lo, self.period, self.pos, self.mass, self.vel,
                     self.phi, self.ptype, self.mark, self.orig_idx,
                     self.starts, self.soa8t)
-        return children, self.m
+        return children, (self.m, self.chunk)
 
     @classmethod
-    def tree_unflatten(cls, m, children):
-        return cls(m, *children)
+    def tree_unflatten(cls, aux, children):
+        m, chunk = aux
+        return cls(m, *children, chunk=chunk)
 
 
 def choose_m(n_particles: int, target_occupancy: int = 24, m_max: int = 9) -> int:
@@ -96,6 +100,34 @@ def choose_m(n_particles: int, target_occupancy: int = 24, m_max: int = 9) -> in
     cells = max(1.0, n_particles / target_occupancy)
     m = int(round(np.log2(cells ** (1.0 / 3.0))))
     return int(np.clip(m, 0, m_max))
+
+
+def choose_chunk(n_particles: int, m: int) -> int:
+    """Per-grid slab DMA chunk from the occupancy ladder.
+
+    The chunk sets (a) the occupancy floor of the level selection
+    (solver._pick_level needs mean occupancy >= 3/4 * chunk so DMA chunks
+    arrive mostly full) and (b) the per-run alignment slack of every
+    gather footprint. 128 wins when either
+      - its floor (96) admits a strictly finer level than 256's (192):
+        smaller cells shrink every candidate footprint severalfold, or
+      - the selected level's occupancy is < 1.5 chunks (384 rows): each
+        cell is barely one 256-chunk, so the per-run alignment waste at
+        256 inflates capacity tiers (measured: solve +50% on the
+        8.4M-particle box, occupancy 255).
+    Otherwise 256's fuller DMA transfers win (~10% on the sparse 2M box,
+    occupancy 512). SO_TPU_CHUNK forces a global value.
+    """
+    from .pallas_gather import CHUNK, CHUNK_FORCED
+
+    if CHUNK_FORCED:
+        return CHUNK
+    occ = [n_particles / (1 << (3 * (m - g))) for g in range(m + 1)]
+    g96 = next((g for g, o in enumerate(occ) if o >= 96), m)
+    g192 = next((g for g, o in enumerate(occ) if o >= 192), m)
+    if g96 < g192 or occ[g192] < 384:
+        return 128
+    return 256
 
 
 # Sentinel Morton code for padding particles: >= the cell count at every
@@ -150,7 +182,7 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     if m is None:
         m = choose_m(n)
     out = _build_device(m, lo, period, pos, mass, vel, phi, ptype, mark)
-    grid = CellGrid(m, lo, period, *out)
+    grid = CellGrid(m, lo, period, *out, chunk=choose_chunk(n, m))
     if pallas is None:
         import os
         env = os.environ.get("SO_TPU_PALLAS", "auto")
@@ -162,6 +194,7 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
             pallas = jax.default_backend() not in ("cpu",)
     if pallas:
         from .pallas_gather import pack_soa8t
-        grid.soa8t = jax.jit(pack_soa8t)(grid.pos, grid.mass, grid.vel,
-                                         grid.ptype, grid.mark)
+        grid.soa8t = jax.jit(pack_soa8t, static_argnames=("chunk",))(
+            grid.pos, grid.mass, grid.vel, grid.ptype, grid.mark,
+            chunk=grid.chunk)
     return grid

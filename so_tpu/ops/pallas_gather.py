@@ -37,14 +37,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-# slab DMA chunk (rows); also the tail pad of the SoA. Must be a multiple
-# of the 128-lane width (stores are lane-aligned at CHUNK granularity).
-# SO_TPU_CHUNK overrides for experiments: smaller chunks halve the
-# occupancy floor (ops matched via solver._pick_level min_occ), which
-# matters on dense boxes where the floor forces 4x-too-coarse levels
-# (docs/ROADMAP.md round-2 notes).
+# Default slab DMA chunk (rows); also the tail pad of the SoA. Must be a
+# multiple of the 128-lane width (stores are lane-aligned at CHUNK
+# granularity). The chunk also sets the occupancy floor of the level
+# selection (solver._pick_level min_occ = 3/4 * chunk): smaller chunks
+# admit finer grid levels, which wins on dense boxes (solve +50% at
+# CHUNK=128 on the 8.4M/65k box) and loses ~10% DMA efficiency on sparse
+# ones — build_grid picks per grid from the occupancy ladder.
+# SO_TPU_CHUNK forces a global value for experiments.
 CHUNK = int(_os.environ.get("SO_TPU_CHUNK", "256"))
 assert CHUNK % 128 == 0 and CHUNK > 0, CHUNK
+CHUNK_FORCED = "SO_TPU_CHUNK" in _os.environ
 HPP = 8              # halos per grid program: 4 -> 8 gained 9% on v5e
 #                      (fewer program switches); 16 regressed (VMEM window
 #                      pressure) — measured on the 2M-particle bench
@@ -55,19 +58,19 @@ NBUF = 8             # DMA ring depth: per-chunk compute (~100 ns) is far
 CH_D2, CH_MASS, CH_MVX, CH_MVY, CH_MVZ, CH_META, CH_ILO, CH_IHI = range(8)
 
 
-def pack_soa8t(pos, mass, vel, ptype, mark):
-    """Build the padded, transposed (8, N + CHUNK) payload array."""
+def pack_soa8t(pos, mass, vel, ptype, mark, chunk: int = CHUNK):
+    """Build the padded, transposed (8, N + chunk) payload array."""
     meta = (ptype.astype(jnp.int32)
             | (mark.astype(jnp.int32) << 4)).astype(jnp.float32)
     mv = vel * mass[:, None]
     soa = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2],
                      mass.astype(jnp.float32),
                      mv[:, 0], mv[:, 1], mv[:, 2], meta], axis=0)
-    pad = jnp.zeros((8, CHUNK), jnp.float32).at[0:3, :].set(1e30)
+    pad = jnp.zeros((8, chunk), jnp.float32).at[0:3, :].set(1e30)
     return jnp.concatenate([soa.astype(jnp.float32), pad], axis=1)
 
 
-def chunk_descriptors(st, cnt, q, K: int):
+def chunk_descriptors(st, cnt, q, K: int, CHUNK: int = CHUNK):
     """Cut merged slab runs into dense CHUNK descriptors.
 
     Returns per (halo, chunk t < NC): a0 (src_t = a0 + t*CHUNK, aligned),
@@ -102,7 +105,7 @@ def chunk_descriptors(st, cnt, q, K: int):
     return a0, lo, hi, n_total
 
 
-def _make_kernel(chans: tuple):
+def _make_kernel(chans: tuple, CHUNK: int = CHUNK):
     """Kernel emitting only the requested channels (d2 is always row 0).
 
     Channel names: mass, mvx, mvy, mvz, meta (SoA rows 3..7) and ilo/ihi
@@ -194,17 +197,18 @@ def _make_kernel(chans: tuple):
     return _gather_kernel
 
 
-@partial(jax.jit, static_argnames=("K", "chans"))
+@partial(jax.jit, static_argnames=("K", "chans", "CHUNK"))
 def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int,
                        chans: tuple = ("mass", "mvx", "mvy", "mvz", "meta",
-                                       "ilo", "ihi")):
+                                       "ilo", "ihi"), CHUNK: int = CHUNK):
     """(B,C) merged slab runs -> (B, 1+len(chans), K) slotted channels:
-    row 0 is d2 (+inf on empty/out-of-ball slots), rows 1.. follow chans."""
+    row 0 is d2 (+inf on empty/out-of-ball slots), rows 1.. follow chans.
+    ``CHUNK`` must match the payload's pack_soa8t chunk."""
     B, C = starts.shape
     NC = (K + CHUNK) // CHUNK
     Kp = NC * CHUNK
     nch = 1 + len(chans)
-    a0, lo, hi, n_total = chunk_descriptors(starts, cnts, qs, K)
+    a0, lo, hi, n_total = chunk_descriptors(starts, cnts, qs, K, CHUNK)
     cp = jnp.concatenate([
         centers.astype(jnp.float32), r2[:, None].astype(jnp.float32),
         jnp.broadcast_to(period[None, :].astype(jnp.float32), (B, 3)),
@@ -219,7 +223,7 @@ def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int,
         cp = jnp.concatenate([cp, jnp.ones((padn, 8), cp.dtype)
                               .at[:, 7].set(0.0)])
     out = pl.pallas_call(
-        _make_kernel(chans),
+        _make_kernel(chans, CHUNK),
         interpret=jax.default_backend() == "cpu",   # CI runs on CPU
         grid=(Bp // HPP,),
         in_specs=[

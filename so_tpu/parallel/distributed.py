@@ -240,11 +240,16 @@ def build_sharded_grid_segment(mesh, start: int, n_global: int, pos, mass,
         env = os.environ.get("SO_TPU_PALLAS", "auto")
         pallas = (env == "1" if env in ("0", "1")
                   else jax.default_backend() not in ("cpu",))
+    from functools import partial as _partial
+
+    from ..ops.grid import choose_chunk
+
+    chunk = choose_chunk(max(n_global // nsh, 1), m)
     soa_s = None
     if pallas:
         from ..ops.pallas_gather import pack_soa8t
-        soa_s = jax.jit(jax.vmap(pack_soa8t))(pos_s, mass_s, vel_s, ptype_s,
-                                              mark_s)
+        soa_s = jax.jit(jax.vmap(_partial(pack_soa8t, chunk=chunk)))(
+            pos_s, mass_s, vel_s, ptype_s, mark_s)
 
     lo_row = pid * pph
     gp = lambda a: make_global_from_local(
@@ -253,4 +258,4 @@ def build_sharded_grid_segment(mesh, start: int, n_global: int, pos, mass,
         m, make_global(mesh, P(), lo), make_global(mesh, P(), period_a),
         gp(pos_s), gp(mass_s), gp(vel_s), gp(phi_s), gp(ptype_s), gp(mark_s),
         gp(orig), tuple(gp(s) for s in starts_s),
-        None if soa_s is None else gp(soa_s))
+        None if soa_s is None else gp(soa_s), chunk=chunk)

@@ -61,7 +61,8 @@ class ShardedGrid:
     mark: jnp.ndarray         # (nsh, Nl)
     orig_idx: jnp.ndarray     # (nsh, Nl) — local row -> global original index
     starts: tuple             # per level: (nsh, size_g)
-    soa8t: jnp.ndarray | None = None  # (nsh, 8, Nl+CHUNK) Pallas payload
+    soa8t: jnp.ndarray | None = None  # (nsh, 8, Nl+chunk) Pallas payload
+    chunk: int = 256          # static: slab DMA chunk (see CellGrid.chunk)
 
     @property
     def nshards(self) -> int:
@@ -74,11 +75,12 @@ class ShardedGrid:
     def tree_flatten(self):
         return ((self.lo, self.period, self.pos, self.mass, self.vel,
                  self.phi, self.ptype, self.mark, self.orig_idx, self.starts,
-                 self.soa8t), self.m)
+                 self.soa8t), (self.m, self.chunk))
 
     @classmethod
-    def tree_unflatten(cls, m, children):
-        return cls(m, *children)
+    def tree_unflatten(cls, aux, children):
+        m, chunk = aux
+        return cls(m, *children, chunk=chunk)
 
     def local_cellgrid(self) -> CellGrid:
         """Inside shard_map: view this shard's block (leading dim 1) as a
@@ -88,7 +90,18 @@ class ShardedGrid:
                         sq(self.mass), sq(self.vel), sq(self.phi),
                         sq(self.ptype), sq(self.mark), sq(self.orig_idx),
                         tuple(sq(s) for s in self.starts),
-                        None if self.soa8t is None else sq(self.soa8t))
+                        None if self.soa8t is None else sq(self.soa8t),
+                        chunk=self.chunk)
+
+
+def _specs_grid(sgrid: ShardedGrid) -> ShardedGrid:
+    """shard_map in_specs pytree matching a ShardedGrid: particle arrays
+    and per-level starts sharded along 'part', box constants replicated.
+    Static aux (m, chunk) must equal the operand's for structure match."""
+    return ShardedGrid(
+        sgrid.m, P(), P(), *(P("part"),) * 7,
+        tuple(P("part") for _ in sgrid.starts),
+        None if sgrid.soa8t is None else P("part"), chunk=sgrid.chunk)
 
 
 def grid_proxy(sgrid: ShardedGrid, with_slab: bool = True):
@@ -101,6 +114,7 @@ def grid_proxy(sgrid: ShardedGrid, with_slab: bool = True):
         n = int(sgrid.nshards * sgrid.n_local)
         period = sgrid.period
         soa8t = sgrid.soa8t if with_slab else None
+        chunk = sgrid.chunk
 
         def ncell(self, level):
             return 1 << (sgrid.m - level)
@@ -160,14 +174,18 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
                   else jax.default_backend() not in ("cpu",))
         if env == "0":
             pallas = False
+    from ..ops.grid import choose_chunk
+
+    chunk = choose_chunk(max(n // nsh, 1), m)
     soa = None
     if pallas:
         from ..ops.pallas_gather import pack_soa8t
-        soa = jax.jit(jax.vmap(pack_soa8t))(pos_s, mass_s, vel_s, ptype_s,
-                                            mark_s)
+        soa = jax.jit(jax.vmap(partial(pack_soa8t, chunk=chunk)))(
+            pos_s, mass_s, vel_s, ptype_s, mark_s)
 
     sg = ShardedGrid(m, jnp.asarray(lo), jnp.asarray(period_a), pos_s, mass_s,
-                     vel_s, phi_s, ptype_s, mark_s, orig, tuple(starts_s), soa)
+                     vel_s, phi_s, ptype_s, mark_s, orig, tuple(starts_s),
+                     soa, chunk=chunk)
     if mesh is not None:
         def place(a):
             return jax.device_put(a, NamedSharding(mesh, P("part")))
@@ -176,7 +194,7 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
                          place(sg.pos), place(sg.mass), place(sg.vel),
                          place(sg.phi), place(sg.ptype), place(sg.mark),
                          place(sg.orig_idx), tuple(place(s) for s in sg.starts),
-                         None if soa is None else place(soa))
+                         None if soa is None else place(soa), chunk=chunk)
     return sg
 
 
@@ -192,12 +210,13 @@ def _local_hits(grid: CellGrid, level: int, K: int, S: int, centers, radii,
     r2 = radii * radii if r2_mask is None else r2_mask
     if grid.soa8t is not None:
         from ..ops.gather import cell_ranges
-        from ..ops.pallas_gather import CHUNK, pallas_slab_gather
+        from ..ops.pallas_gather import pallas_slab_gather
 
         st, cnt, q, total = cell_ranges(grid, level, centers, radii, r2, S,
-                                        align=CHUNK)
+                                        align=grid.chunk)
         out = pallas_slab_gather(grid.soa8t, st, cnt, q, centers,
-                                 grid.period, r2, K, chans=tuple(channels))
+                                 grid.period, r2, K, chans=tuple(channels),
+                                 CHUNK=grid.chunk)
         d2 = out[:, 0]
         n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
         return (d2, *[out[:, 1 + i] for i in range(len(channels))],
@@ -253,10 +272,7 @@ def solve_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
         out.update(n_in=n_in, overflow=overflow)
         return out
 
-    specs_grid = ShardedGrid(
-        sgrid.m, P(), P(), *(P("part"),) * 7,
-        tuple(P("part") for _ in sgrid.starts),
-        None if sgrid.soa8t is None else P("part"))
+    specs_grid = _specs_grid(sgrid)
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(specs_grid, P("halo"), P("halo"), P()),
@@ -315,10 +331,7 @@ def solve_stage_fused_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
              jnp.where(valid2, gid, -1)[:, None], steps[:, None]], axis=1)
         return p1x, p2
 
-    specs_grid = ShardedGrid(
-        sgrid.m, P(), P(), *(P("part"),) * 7,
-        tuple(P("part") for _ in sgrid.starts),
-        None if sgrid.soa8t is None else P("part"))
+    specs_grid = _specs_grid(sgrid)
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(specs_grid, P("halo"), P("halo"), P("halo"), P()),
@@ -359,10 +372,7 @@ def derived_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
         out.update(overflow=overflow)
         return out
 
-    specs_grid = ShardedGrid(
-        sgrid.m, P(), P(), *(P("part"),) * 7,
-        tuple(P("part") for _ in sgrid.starts),
-        None if sgrid.soa8t is None else P("part"))
+    specs_grid = _specs_grid(sgrid)
     out_keys = ["vcirc", "rmass", "rmax", "vmax", "n_in", "overflow"]
     out_specs = {k: P("halo") for k in out_keys}
     out_specs["profiles"] = {sp: P("halo") for sp in species}
@@ -410,10 +420,7 @@ def members_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
         vcm = w.sum(axis=1) / mvir[:, None]
         return dict(orig=orig, vcm=vcm, n_in=n_in, overflow=overflow)
 
-    specs_grid = ShardedGrid(
-        sgrid.m, P(), P(), *(P("part"),) * 7,
-        tuple(P("part") for _ in sgrid.starts),
-        None if sgrid.soa8t is None else P("part"))
+    specs_grid = _specs_grid(sgrid)
     out = jax.shard_map(
         body, mesh=mesh,
         in_specs=(specs_grid, P("halo"), P("halo"), P("halo"), P("halo"),
@@ -519,10 +526,7 @@ def multi_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
                           jnp.zeros_like(n_in)], axis=1)[None]
         return jnp.concatenate([per_t, tail], axis=0)
 
-    specs_grid = ShardedGrid(
-        sgrid.m, P(), P(), *(P("part"),) * 7,
-        tuple(P("part") for _ in sgrid.starts),
-        None if sgrid.soa8t is None else P("part"))
+    specs_grid = _specs_grid(sgrid)
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(specs_grid, P("halo"), P("halo"), P()),
@@ -583,10 +587,7 @@ def recenter_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
         new_centers = jnp.where((n_in > 0)[:, None], best, centers)
         return dict(centers=new_centers, n_in=n_in, overflow=overflow)
 
-    specs_grid = ShardedGrid(
-        sgrid.m, P(), P(), *(P("part"),) * 7,
-        tuple(P("part") for _ in sgrid.starts),
-        None if sgrid.soa8t is None else P("part"))
+    specs_grid = _specs_grid(sgrid)
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(specs_grid, P("halo"), P("halo")),

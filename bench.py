@@ -74,9 +74,10 @@ def main():
     build_s = time.perf_counter() - t0
 
     thr = 178.0
+    survey = os.environ.get("SO_BENCH_SURVEY") == "1"
     # warmup: compiles every tier this workload touches
     t0 = time.perf_counter()
-    res = solve_rvir(grid, centers, rgtp, thr)
+    res = solve_rvir(grid, centers, rgtp, thr, survey=survey)
     warm_s = time.perf_counter() - t0
 
     # best-of-3: remote-tunnel latency and terminal throttling drift
@@ -84,7 +85,7 @@ def main():
     reps = []
     for _ in range(5):
         t0 = time.perf_counter()
-        res = solve_rvir(grid, centers, rgtp, thr)
+        res = solve_rvir(grid, centers, rgtp, thr, survey=survey)
         reps.append(time.perf_counter() - t0)
     solve_s = min(reps)
 
@@ -112,7 +113,7 @@ def main():
         ps = ParticleSet(hdr, pos, vel, mass, np.zeros(n_tot, np.float32),
                          np.zeros(n_tot, np.float32))
         gtp_mass = rng.uniform(0.001, 1.0, n_halos).astype(np.float32)
-        params = SOParams(threshold=thr,
+        params = SOParams(threshold=thr, survey=survey,
                           verbose=bool(os.environ.get("SO_BENCH_VERBOSE")))
 
         def one_run():

@@ -40,6 +40,7 @@ so_tpu -i <SKID .gtp file> [-o <outfilebase>] [([-dark] [-gas] [-star]) || [-all
       [-u <fMassUnit> <fMpcUnit>]
       [--tipsy <snapshot>] [--verbose] [--profile <trace-dir>]
       [--deltas d1,d2,...] [--checkpoint <state.npz>] [--mesh HxP]
+      [--survey]
 
 Spherical-overdensity halo characterization (TPU-native engine). For every
 group center in the input .gtp catalog, finds the smallest radius R inside
@@ -119,6 +120,7 @@ def main(argv=None) -> int:
     checkpoint = None
     deltas = None
     mesh_shape = None
+    b_survey = False
 
     def need(i):
         if i >= len(argv):
@@ -212,6 +214,11 @@ def main(argv=None) -> int:
             # full output set per threshold (<base>.d<delta>.*), all solved
             # against shared gathers (engine/multi.py)
             i += 1; deltas = [ffloat(x) for x in need(i).split(",")]; i += 1
+        elif a == "--survey":
+            # sort-free -1/-2 pre-pass: a large win for candidate-rich
+            # catalogs where most centers fail the membership/threshold
+            # checks (engine/solver._classify_stage)
+            b_survey = True; i += 1
         elif a == "--mesh":
             # multi-chip extension: HxP (halo x part) device mesh — solve,
             # member extraction, and derived quantities run sharded over
@@ -318,7 +325,8 @@ def main(argv=None) -> int:
                       n_members=n_members,
                       period=tuple(f_period), center=tuple(f_center),
                       b_pot=b_pot, species=species, grav=grav, verbose=verbose,
-                      profile_dir=profile_dir, checkpoint=checkpoint)
+                      profile_dir=profile_dir, checkpoint=checkpoint,
+                      survey=b_survey)
 
     if deltas is not None and mesh_shape is not None:
         sys.stderr.write("--mesh with --deltas is not supported yet\n")

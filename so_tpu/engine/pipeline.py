@@ -47,6 +47,7 @@ class SOParams:
     verbose: bool = False
     profile_dir: str | None = None     # jax.profiler trace output
     checkpoint: str | None = None      # solve-state save/resume (.npz)
+    survey: bool = False               # sort-free -1/-2 pre-pass (--survey)
 
 
 @dataclass
@@ -118,7 +119,8 @@ def run_so(particles: ParticleSet, catalog: GroupCatalog, params: SOParams,
         else:
             with timer.phase("R_Delta solve"):
                 solve = solve_rvir(grid, centers, rgtp, params.threshold,
-                                   n_members=params.n_members)
+                                   n_members=params.n_members,
+                                   survey=params.survey)
 
         run = _post_solve(grid, particles, catalog, centers, solve, params,
                           timer, members=ck_members)

@@ -228,6 +228,63 @@ def _solve_stage_fused(grid: CellGrid, level: int, K: int, S: int,
 
 
 @partial(jax.jit, static_argnames=("level", "K", "S", "n_members"))
+def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
+                    n_members: int, centers, radii, thr):
+    """Sort-free -1/-2 classification from the nearest hits.
+
+    The -1 verdict needs only the in-ball count (kd2.c:772-778) and the
+    -2 verdict only the first nMembers sorted hits (the two-consecutive
+    rule firing at the earliest eligible slot, kd2.c:785-796) — a
+    lax.top_k of the unsorted distances plus a 16-wide exact prefix
+    replaces the full K-wide sort. Candidate-rich survey catalogs where
+    most halos fail these checks (83% on the 34M/1e6 box) skip the
+    expensive sorted solve for them entirely; survivors re-run the
+    normal rounds with identical semantics (the scan is round-stateless).
+    Returns packed i32 (B, 2): [n_in | m2<<30 | overflow<<31, 0].
+    """
+    kk = max(16, n_members + 2)
+    if grid.soa8t is not None:
+        from ..ops.gather import cell_ranges
+        from ..ops.pallas_gather import pallas_slab_gather
+
+        r2 = radii * radii
+        st, cnt, q, total = cell_ranges(grid, level, centers, radii, r2, S,
+                                        align=grid.chunk)
+        out = pallas_slab_gather(grid.soa8t, st, cnt, q, centers,
+                                 grid.period, r2, K, chans=("mass",),
+                                 CHUNK=grid.chunk)
+        d2 = out[:, 0]
+        mass = out[:, 1]
+        overflow = total > K
+    else:
+        g = ragged_ball_gather(grid, level, centers, radii, radii * radii,
+                               K, S, sort=False)
+        ok = jnp.isfinite(g.d2)
+        d2 = jnp.where(ok, g.d2, jnp.inf)
+        mass = jnp.where(ok, grid.mass[g.idx], 0.0)
+        overflow = g.overflow
+    n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
+
+    negd2, idx = jax.lax.top_k(-d2, kk)
+    d2k = -negd2                                   # ascending distances
+    mk = jnp.take_along_axis(mass, idx, axis=1)
+    cum = seq_cumsum(mk, axis=1)
+    rho = cum / (FOUR_THIRDS_PI * (d2k * jnp.sqrt(d2k)))
+    slot = jnp.arange(kk, dtype=jnp.int32)[None, :]
+    rho_next = jnp.concatenate(
+        [rho[:, 1:], jnp.full((rho.shape[0], 1), jnp.inf)], axis=1)
+    pair_ok = ((rho < thr) & (rho_next < thr)
+               & (slot + 1 < n_in[:, None])
+               & (slot >= n_members - 2))
+    found_w = pair_ok.any(axis=1)
+    jstar_w = jnp.argmax(pair_ok, axis=1).astype(jnp.int32)
+    is_m2 = found_w & (jstar_w == n_members - 2)
+    w0 = (n_in | (is_m2.astype(jnp.int32) << 30)
+          | (overflow.astype(jnp.int32) << 31))
+    return jnp.stack([w0, jnp.zeros_like(w0)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("level", "K", "S", "n_members"))
 def _solve_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
                  centers, radii, thr):
     """One capacity tier: gather+sort+scan for a batch of halos.
@@ -356,7 +413,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                k0_cap: int = 4096, s_max: int = 11,
                slot_budget: int = 1 << 26,
                progress=None, stage_fn=None, fused=None,
-               fused_b2: int = 256, fused_stage_fn=None) -> SolveResult:
+               fused_b2: int = 256, fused_stage_fn=None,
+               survey: bool = False) -> SolveResult:
     """Solve R_Delta for every halo (batched, staged capacity escalation).
 
     ``stage_fn(level, K, S, n_members, centers, radii, thr)`` overrides the
@@ -371,6 +429,12 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     centers, radii, kleft, thr)`` overrides the fused kernel the same way
     stage_fn overrides the plain one (parallel.mesh injects its shard_map
     fused stage) — the host decision logic is identical either way.
+
+    ``survey``: run a sort-free -1/-2 classifier over the first ladder
+    rung before the full rounds (see _classify_stage) — a large win for
+    candidate-rich catalogs where most halos fail those checks, a small
+    extra dispatch otherwise. Single-device path only (needs direct grid
+    access); opt-in via the CLI's --survey.
     """
     default_stage = stage_fn is None
     if stage_fn is None:
@@ -487,6 +551,49 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                                      k_cap_max))
         if progress is not None:
             progress(resolved.sum(), G)
+
+    if survey and default_stage and not resolved.all():
+        # sort-free -1/-2 pre-pass over the first ladder rung: resolves
+        # the candidate-poor bulk of survey catalogs without a K-wide
+        # sort; survivors rescan rung 1 in the normal rounds (cheap
+        # relative to the skipped sorts — the scan is round-stateless)
+        live = np.nonzero(~resolved)[0]
+        K = int(min(k0_cap, _k_limit(grid, s_max)))
+        k_eff = np.minimum(cur_k[live], kmax[live])
+        radii = ladder_radius(rgtp[live], k_eff)
+        level, S = _pick_level_span(grid, float(radii.max()), s_max)
+        chunk = max(1, min(16384, (1 << 26) // K))
+        for lo in range(0, live.size, chunk):
+            part = live[lo:lo + chunk]
+            B = _pad_b(part.size, K)
+            c_pad = np.zeros((B, 3), np.float32)
+            r_pad = np.zeros(B, np.float32)
+            c_pad[:part.size] = centers[part]
+            r_pad[:part.size] = radii[lo:lo + chunk]
+            t0 = _pc() if os.environ.get("SO_TPU_DEBUG") else 0.0
+            arr = np.asarray(_classify_stage(
+                _stage_grid(grid, K), level, K, S, n_members,
+                jnp.asarray(c_pad), jnp.asarray(r_pad), thr32))
+            if os.environ.get("SO_TPU_DEBUG"):
+                print(f"so_tpu[solve]: classify B={B} K={K} S={S} "
+                      f"level={level} n={part.size} "
+                      f"dt={(_pc() - t0) * 1e3:.1f}ms",
+                      file=sys.stderr, flush=True)
+            w0 = arr[:part.size, 0]
+            n_in = w0 & 0x3FFFFFFF
+            m2f = (w0 >> 30) & 1
+            ovf = (w0 >> 31) & 1
+            ok_v = ovf == 0
+            is_m1 = ok_v & (n_in < n_members) & minus1_open[part]
+            minus1_open[part[n_in >= n_members]] = False
+            is_m2 = ok_v & (m2f > 0) & ~is_m1
+            idx = part[is_m1]
+            code[idx] = -1; mvir[idx] = -1.0; rvir[idx] = -1.0
+            resolved[idx] = True
+            idx = part[is_m2]
+            code[idx] = -2; mvir[idx] = -2.0; rvir[idx] = -2.0
+            resolved[idx] = True
+            kcap[part] = np.maximum(kcap[part], K)
 
     if fused and can_fuse and not resolved.all():
         # round 1 + compacted round 2 in one dispatch

@@ -171,3 +171,41 @@ def test_fused_spill_falls_back_to_classic():
     np.testing.assert_array_equal(spilled.mvir, classic.mvir)
     np.testing.assert_array_equal(spilled.rvir, classic.rvir)
     assert (classic.code == 0).all()
+
+
+def test_survey_classifier_matches_full_solve():
+    """solve_rvir(survey=True) must equal the plain solve on a catalog
+    mixing -1, -2, and successful halos (the classifier's -1/-2 verdicts
+    come from the top-k window instead of the full sort)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_clumpy_box
+
+    from so_tpu.engine.solver import solve_rvir
+    from so_tpu.ops import build_grid
+
+    rng = np.random.default_rng(55)
+    d = make_clumpy_box(rng, n_background=6000, clumps=[
+        dict(center=(0.2, 0.2, 0.2), n=2000, rmax=0.06, mass_total=0.25)])
+    grid = build_grid(d["pos"], d["mass"], m=3)
+    centers = np.array([
+        (0.2, 0.2, 0.2),        # success
+        (-0.4, -0.4, -0.4),     # tiny ball in the void -> -1
+        (-0.35, 0.4, -0.4),     # big sparse ball -> -2
+        (0.21, 0.19, 0.2),      # success
+        (0.4, -0.4, 0.4),       # another void -2 candidate
+    ], np.float32)
+    rgtp = np.array([0.05, 0.004, 0.2, 0.04, 0.15], np.float32)
+    for thr in (178.0, 1e-4):
+        want = solve_rvir(grid, centers, rgtp, thr)
+        got = solve_rvir(grid, centers, rgtp, thr, survey=True)
+        np.testing.assert_array_equal(got.code, want.code)
+        np.testing.assert_array_equal(got.mvir, want.mvir)
+        np.testing.assert_array_equal(got.rvir, want.rvir)
+        np.testing.assert_array_equal(got.j, want.j)
+        np.testing.assert_array_equal(got.d2cut, want.d2cut)
+    # the mix actually covers all three outcomes at the default threshold
+    w = solve_rvir(grid, centers, rgtp, 178.0)
+    assert set(np.unique(w.code)) >= {0, -1, -2}

@@ -109,6 +109,11 @@ FUZZ_MODES = {
                          "-ignored"]),
     "species": dict(seed=707, split=True,
                     args=["-all", "-grp", "-subsumed", "-ignored"]),
+    # --survey is a so_tpu extension: same reference run, classifier on
+    # our side — random boxes with void centers exercise the -1/-2
+    # short-circuit against the live reference
+    "survey": dict(seed=909, args=["-grp", "-gtp", "-subsumed", "-ignored"],
+                   tpu_extra=["--survey"]),
 }
 
 
@@ -136,7 +141,8 @@ def test_fuzz_modes(so_bin, mode, tmp_path):
                    standard=cfg.get("standard", False), split=split)
     write_gtp(f"{work}/cat.gtp", centers, rgtp, masses, time=1.0,
               standard=cfg.get("standard", False))
-    errs = _run_both(so_bin, work, cfg["args"])
+    errs = _run_both(so_bin, work, cfg["args"],
+                     tpu_args=cfg["args"] + cfg.get("tpu_extra", []))
     assert not errs, "\n".join(errs[:8])
 
 

@@ -141,6 +141,29 @@ def _period(outdir):
               [0.07, 0.06], [0.3, 0.1], time=1.0)
 
 
+def _period_axes(outdir):
+    rng = np.random.default_rng(37)
+    # distinct per-axis centers (-cx/-cy/-cz, so.c per-axis parsing); one
+    # clump wraps the x boundary of the shifted box
+    cx, cy, cz = 1.0, 0.5, -0.25
+    c = np.array([cx, cy, cz], np.float32)
+    # clump centers in the FINAL (per-axis-shifted) frame; generate in the
+    # zero-centered frame and shift+wrap the whole box afterwards
+    final_centers = [(cx + 0.98, cy, cz),
+                     (cx - 0.4, cy + 0.3, cz - 0.2)]
+    clumps = [
+        dict(center=tuple(np.asarray(fc) - c), n=n, rmax=rm, mass_total=mt)
+        for fc, n, rm, mt in zip(final_centers, (2200, 1100), (0.09, 0.06),
+                                 (0.25, 0.1))
+    ]
+    data = make_clumpy_box(rng, n_background=7000, clumps=clumps, box=2.0)
+    data["pos"] = (((data["pos"] + c) - (c - 1.0)) % 2.0
+                   + (c - 1.0)).astype(np.float32)
+    write_snapshot(f"{outdir}/snap.bin", data, time=1.0)
+    write_gtp(f"{outdir}/cat.gtp", final_centers,
+              [0.07, 0.05], [0.25, 0.1], time=1.0)
+
+
 SCENARIOS = {
     # name: (generator, reference CLI args after -i/-o, needs_std_io)
     "basic": (_basic, ["-grp", "-gtp", "-subsumed", "-ignored", "-all"], False),
@@ -167,6 +190,11 @@ SCENARIOS = {
     "slurp": (_slurp, ["-grp", "-gtp", "-subsumed", "-ignored"], False),
     "ties": (_ties, ["-grp", "-subsumed", "-ignored"], False),
     "period": (_period, ["-p", "2.0", "-c", "1.0", "-grp"], False),
+    # per-axis centers (-cx/-cy/-cz, so.c:338-360) with a boundary clump,
+    # plus a small -m (nMembers=4, below the classifier window)
+    "period_axes": (_period_axes,
+                    ["-p", "2.0", "-cx", "1.0", "-cy", "0.5", "-cz", "-0.25",
+                     "-m", "4", "-grp", "-gtp"], False),
 }
 
 OUTPUT_FILES = ["sovcirc", "sogrp", "sogtp", "sosub", "soign",

@@ -336,6 +336,13 @@ def main(argv=None) -> int:
         # run the user believes is checkpointed but is not
         sys.stderr.write("--mesh with --checkpoint is not supported yet\n")
         raise SystemExit(1)
+    if b_survey and (mesh_shape is not None or deltas is not None):
+        # the classifier pre-pass is single-device/single-threshold only;
+        # it is an optimization, so warn-and-continue rather than abort
+        sys.stderr.write("note: --survey is ignored with "
+                         f"{'--mesh' if mesh_shape is not None else '--deltas'}"
+                         " (not supported yet)\n")
+        b_survey = False
     if deltas is not None:
         from .engine.pipeline import run_so_multi
 

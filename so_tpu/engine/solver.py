@@ -242,7 +242,9 @@ def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
     normal rounds with identical semantics (the scan is round-stateless).
     Returns packed i32 (B, 2): [n_in | m2<<30 | overflow<<31, 0].
     """
-    kk = max(16, n_members + 2)
+    kk = min(K, max(16, n_members + 2))   # top_k k must not exceed K;
+    #                                       a clamped window simply defers
+    #                                       -2 to the full solve
     if grid.soa8t is not None:
         from ..ops.gather import cell_ranges
         from ..ops.pallas_gather import pallas_slab_gather
@@ -279,6 +281,17 @@ def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
     found_w = pair_ok.any(axis=1)
     jstar_w = jnp.argmax(pair_ok, axis=1).astype(jnp.int32)
     is_m2 = found_w & (jstar_w == n_members - 2)
+    # tie-order robustness: the full solve's unstable sort may order
+    # equal-d2 hits differently than top_k; cum at the decision slots is
+    # order-invariant EXCEPT for ties straddling slots (m-2, m-1) or
+    # (m-1, m) — defer those knife-edges to the full solve, whose verdict
+    # is the contract
+    b1 = n_members - 2
+    if b1 + 2 <= kk - 1:
+        is_m2 = is_m2 & (d2k[:, b1] != d2k[:, b1 + 1]) \
+                      & (d2k[:, b1 + 1] != d2k[:, b1 + 2])
+    else:
+        is_m2 = jnp.zeros_like(is_m2)   # window too short to decide -2
     w0 = (n_in | (is_m2.astype(jnp.int32) << 30)
           | (overflow.astype(jnp.int32) << 31))
     return jnp.stack([w0, jnp.zeros_like(w0)], axis=1)
@@ -593,7 +606,6 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             idx = part[is_m2]
             code[idx] = -2; mvir[idx] = -2.0; rvir[idx] = -2.0
             resolved[idx] = True
-            kcap[part] = np.maximum(kcap[part], K)
 
     if fused and can_fuse and not resolved.all():
         # round 1 + compacted round 2 in one dispatch

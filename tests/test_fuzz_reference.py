@@ -118,9 +118,12 @@ FUZZ_MODES = {
 
 
 @pytest.mark.parametrize("mode", sorted(FUZZ_MODES))
-def test_fuzz_modes(so_bin, mode, tmp_path):
+@pytest.mark.parametrize("seed_off", [
+    0, pytest.param(1, marks=pytest.mark.slow),
+    pytest.param(2, marks=pytest.mark.slow)])
+def test_fuzz_modes(so_bin, mode, seed_off, tmp_path):
     cfg = FUZZ_MODES[mode]
-    rng = np.random.default_rng(cfg["seed"])
+    rng = np.random.default_rng(cfg["seed"] + seed_off)
     box = cfg.get("box", 1.0)
     data, centers, rgtp, masses = _random_box(
         rng, box=box, void_center=cfg.get("void_center", True))

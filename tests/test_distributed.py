@@ -150,3 +150,27 @@ def test_segment_grid_matches_inprocess_sharded():
                                   np.asarray(sg_ref.orig_idx))
     for a, b in zip(sg.starts, sg_ref.starts):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_segment_grid_pallas_payload_matches():
+    """build_sharded_grid_segment with the Pallas payload == the
+    in-process builder's payload (chunk threading included)."""
+    from so_tpu.parallel import build_sharded_grid
+    from so_tpu.parallel.distributed import (build_sharded_grid_segment,
+                                             make_multihost_mesh)
+
+    rng = np.random.default_rng(8)
+    d = make_clumpy_box(rng, n_background=800,
+                        clumps=[dict(center=(0.1, 0.0, 0.0), n=400,
+                                     rmax=0.05, mass_total=0.2)])
+    mesh = make_multihost_mesh(parts_per_host=2)
+    n = d["pos"].shape[0]
+    sg = build_sharded_grid_segment(mesh, 0, n, d["pos"], d["mass"],
+                                    m=2, pallas=True)
+    from so_tpu.parallel import make_mesh
+    ref = build_sharded_grid(d["pos"], d["mass"], m=2,
+                             mesh=make_mesh(4, 2), pallas=True)
+    assert sg.soa8t is not None and ref.soa8t is not None
+    assert sg.chunk == ref.chunk
+    np.testing.assert_array_equal(np.asarray(sg.soa8t),
+                                  np.asarray(ref.soa8t))

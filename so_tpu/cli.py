@@ -321,43 +321,38 @@ def main(argv=None) -> int:
         if b_ignored:
             write_array_file(f"{base}.soign", run.conflicts.n_ignored)
 
-    params = SOParams(threshold=float(np.float32(f_threshold)),
-                      n_members=n_members,
-                      period=tuple(f_period), center=tuple(f_center),
-                      b_pot=b_pot, species=species, grav=grav, verbose=verbose,
-                      profile_dir=profile_dir, checkpoint=checkpoint,
-                      survey=b_survey)
-
-    if deltas is not None and mesh_shape is not None:
-        sys.stderr.write("--mesh with --deltas is not supported yet\n")
-        raise SystemExit(1)
     if checkpoint is not None and mesh_shape is not None:
         # run_so_sharded has no resume wiring yet; failing loudly beats a
         # run the user believes is checkpointed but is not
         sys.stderr.write("--mesh with --checkpoint is not supported yet\n")
         raise SystemExit(1)
-    if b_survey and (mesh_shape is not None or deltas is not None):
-        # the classifier pre-pass is single-device/single-threshold only;
-        # it is an optimization, so warn-and-continue rather than abort
-        sys.stderr.write("note: --survey is ignored with "
-                         f"{'--mesh' if mesh_shape is not None else '--deltas'}"
-                         " (not supported yet)\n")
+    if checkpoint is not None and deltas is not None:
+        # run_so_multi never reads params.checkpoint; same fail-loudly
+        # principle as the --mesh guard above
+        sys.stderr.write("--deltas with --checkpoint is not supported yet\n")
+        raise SystemExit(1)
+    if b_survey and mesh_shape is not None:
+        # the classifier pre-pass needs direct grid access (single-device
+        # only); it is an optimization, so warn-and-continue
+        sys.stderr.write("note: --survey is ignored with --mesh "
+                         "(not supported yet)\n")
         b_survey = False
-    if deltas is not None:
-        from .engine.pipeline import run_so_multi
 
-        thresholds = [float(np.float32(d * np.float32(f_omega)))
-                      for d in deltas]
-        runs = run_so_multi(particles, catalog, params, thresholds)
-        for d, thr, run in zip(deltas, thresholds, runs):
-            dstr = ("%g" % d).replace("+", "")
-            write_outputs(f"{out_base}.d{dstr}", run, thr, True)
-        solve_seconds = runs[-1].solve_seconds if runs else 0.0
-    elif mesh_shape is not None:
+    # --survey forces the classifier pre-pass; without the flag the engine
+    # AUTO-gates it by sampling (engine/solver.py SURVEY_*), so dense
+    # survey catalogs get the win with no flag
+    params = SOParams(threshold=float(np.float32(f_threshold)),
+                      n_members=n_members,
+                      period=tuple(f_period), center=tuple(f_center),
+                      b_pot=b_pot, species=species, grav=grav, verbose=verbose,
+                      profile_dir=profile_dir, checkpoint=checkpoint,
+                      survey=(True if b_survey else None))
+
+    mesh = None
+    if mesh_shape is not None:
         import jax
 
         from .parallel import make_mesh
-        from .parallel.mesh import run_so_sharded
 
         n_dev = mesh_shape[0] * mesh_shape[1]
         if len(jax.devices()) < n_dev:
@@ -365,6 +360,26 @@ def main(argv=None) -> int:
                              f"{n_dev} devices, found {len(jax.devices())}\n")
             raise SystemExit(1)
         mesh = make_mesh(*mesh_shape, devices=jax.devices()[:n_dev])
+
+    if deltas is not None:
+        thresholds = [float(np.float32(d * np.float32(f_omega)))
+                      for d in deltas]
+        if mesh is not None:
+            from .parallel.mesh import run_so_multi_sharded
+
+            runs = run_so_multi_sharded(particles, catalog, params,
+                                        thresholds, mesh)
+        else:
+            from .engine.pipeline import run_so_multi
+
+            runs = run_so_multi(particles, catalog, params, thresholds)
+        for d, thr, run in zip(deltas, thresholds, runs):
+            dstr = ("%g" % d).replace("+", "")
+            write_outputs(f"{out_base}.d{dstr}", run, thr, True)
+        solve_seconds = runs[-1].solve_seconds if runs else 0.0
+    elif mesh is not None:
+        from .parallel.mesh import run_so_sharded
+
         run = run_so_sharded(particles, catalog, params, mesh)
         write_outputs(out_base, run, f_threshold, b_threshold)
         solve_seconds = run.solve_seconds

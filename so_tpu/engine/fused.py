@@ -104,11 +104,17 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                         mvir: np.ndarray, host_mv: np.ndarray,
                         n_members: int = 8, species: tuple = (),
                         grav: float = 1.0, s_max: int = 11,
-                        slot_budget: int = 1 << 25):
+                        slot_budget: int = 1 << 25, stage_fn=None):
     """One fused pass over the solved halos: (members, vcm, DerivedResult).
 
     Same escalation shape as engine.members.extract_members /
     engine.derived.compute_derived; capacity sized for the 2*Rvir ball.
+
+    ``stage_fn(level, K, S, cap, n_members, species, centers, rvir, j,
+    mvir, grav) -> (packed, counts, dblock)`` overrides the single-device
+    fused stage with the same output contract as _fused_stage — the
+    multi-device path (parallel.mesh.sharded_fused_members_fn) injects its
+    shard_map stage here and reuses this escalation driver unchanged.
     """
     from .solver import _chunk_for, _k_limit, _pad_b, _pick_level_span, _stage_grid
 
@@ -188,15 +194,22 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                     max(int(j[part].sum()) + 8 * part.size, 1024))))
                 cap = int(min(cap, B * K))
                 t0 = _pc() if dbg else 0.0
-                # slab VMEM ceiling: 5 output rows (no species) fit the
-                # double-buffered window to K=2^15 (~10.6 MB); the 6-row
-                # species variant stays at 2^14
-                k_slab = (1 << 15) if not species else (1 << 14)
-                out_dev = _fused_stage(
-                    _stage_grid(grid, K if K <= k_slab else (1 << 30)),
-                    level, K, S, cap, n_members, species,
-                    jnp.asarray(c_pad), jnp.asarray(r_pad),
-                    jnp.asarray(j_pad), jnp.asarray(m_pad), grav32)
+                if stage_fn is not None:
+                    out_dev = stage_fn(level, K, S, cap, n_members, species,
+                                       jnp.asarray(c_pad),
+                                       jnp.asarray(r_pad),
+                                       jnp.asarray(j_pad),
+                                       jnp.asarray(m_pad), grav32)
+                else:
+                    # slab VMEM ceiling: 5 output rows (no species) fit the
+                    # double-buffered window to K=2^15 (~10.6 MB); the
+                    # 6-row species variant stays at 2^14
+                    k_slab = (1 << 15) if not species else (1 << 14)
+                    out_dev = _fused_stage(
+                        _stage_grid(grid, K if K <= k_slab else (1 << 30)),
+                        level, K, S, cap, n_members, species,
+                        jnp.asarray(c_pad), jnp.asarray(r_pad),
+                        jnp.asarray(j_pad), jnp.asarray(m_pad), grav32)
                 pending.append((part, K, S, level, cap, t0, out_dev))
 
         for part, K, S, level, cap, t0, (packed, counts, dblock) in pending:
@@ -238,13 +251,10 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                 else:
                     out_members[h] = pieces[i]
 
-            # group mean velocity from the member rows
-            # (_VcmParticles): one vectorized pass — exact f64 prefix
-            # differences instead of 4096 fancy-indexed f32 sums
-            w = np.cumsum(mvh[rows64].astype(np.float64), axis=0)
-            w = np.vstack([np.zeros((1, 3)), w])
-            sums = w[seg] - w[np.r_[0, seg[:-1]]]
-            vcm[idx] = (sums[okm] / mvir[idx, None].astype(np.float64)) \
-                .astype(np.float32)
+            # group mean velocity from the member rows (_VcmParticles) —
+            # shared batch-invariant accumulation (members.vcm_from_members)
+            from .members import vcm_from_members
+            vcm[idx] = vcm_from_members(mvh, rows64, counts_p,
+                                        mvir[part])[okm]
         todo = np.asarray(next_todo, np.int64)
     return out_members, vcm, derived

@@ -22,6 +22,36 @@ from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
 
 
+def vcm_from_members(mvh: np.ndarray, rows: np.ndarray, counts: np.ndarray,
+                     mvir: np.ndarray) -> np.ndarray:
+    """Group mean velocity from concatenated member rows (_VcmParticles,
+    kd2.c:595-609): per-halo sequential float64 accumulation over the
+    sorted member list, divided by Mvir.
+
+    This is THE accumulation order for every so_tpu host vcm path (fused
+    and plain member extraction share it — docs/PARITY.md #8): reduceat
+    sums each halo's segment independently, so the result depends only on
+    that halo's own member list, not on how halos were batched into
+    dispatch chunks (a global-prefix-difference scheme is not
+    batch-invariant under float rounding).
+
+    ``rows``: concatenated member original-indices (halo-major, ascending
+    distance within each halo); ``counts``: per-halo lengths; ``mvh``:
+    per-particle m*v.
+    """
+    counts = np.asarray(counts, np.int64)
+    G = counts.shape[0]
+    out = np.zeros((G, 3), np.float32)
+    nz = counts > 0
+    if not nz.any():
+        return out
+    seg_starts = (np.cumsum(counts) - counts)[nz]
+    sums = np.add.reduceat(mvh[rows].astype(np.float64), seg_starts, axis=0)
+    out[nz] = (sums / np.asarray(mvir, np.float64)[nz, None]) \
+        .astype(np.float32)
+    return out
+
+
 def _pack_prefix(rows_sorted, counts, cap: int):
     """Compact the valid member rows of the (B, K) slot matrix into one
     dense vector, preserving (halo, ascending-distance) order. Fetching
@@ -228,9 +258,12 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
         todo = np.asarray(next_todo, np.int64)
     if use_host_vcm:
         # group mean velocity from the member lists (_VcmParticles,
-        # kd2.c:595-609): mass-weighted mean over the j interior rows
+        # kd2.c:595-609) — shared accumulation order, see vcm_from_members
         mvh = np.asarray(host_mv, np.float32)     # (n_particles, 3) m*v
-        for h, lst in enumerate(out):
-            if lst is not None and lst.size:
-                vcm[h] = mvh[lst].sum(axis=0, dtype=np.float32) / mvir[h]
+        counts = np.array([0 if lst is None else lst.size for lst in out],
+                          np.int64)
+        rows = (np.concatenate([lst for lst in out if lst is not None
+                                and lst.size])
+                if counts.sum() else np.zeros(0, np.int64))
+        vcm = vcm_from_members(mvh, rows, counts, mvir)
     return out, vcm

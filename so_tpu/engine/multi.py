@@ -24,7 +24,9 @@ import numpy as np
 
 from ..ops.gather import ragged_ball_gather, slab_gather
 from ..ops.grid import CellGrid
-from .solver import (_chunk_for, _k_limit, _pad_b, _pad_to_bucket, _pick_level_span,
+from . import solver as _solver
+from .solver import (_chunk_for, _classify_stage, _k_limit, _pad_b,
+                     _pad_chunk, _pad_to_bucket, _pick_level_span,
                      _stage_grid, ladder_radius, rvir_ladder, scan_sorted)
 
 
@@ -71,12 +73,17 @@ def _multi_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
 def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                      n_members: int = 8, k0_cap: int = 4096, s_max: int = 11,
                      slot_budget: int = 1 << 25,
-                     stage_fn=None) -> MultiSolveResult:
+                     stage_fn=None, survey: bool | None = None) -> MultiSolveResult:
     """Batched R_Delta for every (halo, threshold) pair, shared gathers.
 
     ``stage_fn(level, K, S, n_members, T, centers, radii)`` overrides the
     single-device stage — parallel.mesh.solve_rvir_multi_sharded injects
-    its shard_map stage and reuses this escalation driver unchanged."""
+    its shard_map stage and reuses this escalation driver unchanged.
+
+    ``survey`` mirrors solve_rvir's: the -2 rule is classified per
+    threshold against one shared topk prefix (_classify_stage's T-vector
+    form); a halo skips the full sorted rounds only when every threshold
+    resolved."""
     thresholds = np.asarray(thresholds, np.float32)
     T = thresholds.shape[0]
     G = centers.shape[0]
@@ -84,6 +91,8 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
     rgtp = np.asarray(rgtp, np.float32)
     period = np.asarray(grid.period, np.float32)
     thr_dev = jnp.asarray(thresholds)
+    injected = stage_fn is not None    # the classifier needs direct grid
+    #                                    access: single-device path only
     if stage_fn is None:
         stage_fn = lambda level, K, S, nm, T_, c, r: _multi_stage(
             _stage_grid(grid, K), level, K, S, nm, T_, c, r, thr_dev)
@@ -107,6 +116,53 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
     cur_cap = np.full(G, k0_cap, np.int64)
     minus1_open = np.ones(G, bool)
     DK = 8
+
+    if survey is not False and not injected and not resolved.all():
+        live = np.nonzero(~resolved.all(axis=0))[0]
+        auto = survey is None
+        if not auto or live.size >= _solver.SURVEY_MIN_G:
+            K = int(min(k0_cap, _k_limit(grid, s_max)))
+            k_eff = np.minimum(cur_k[live], kmax[live])
+            radii_all = ladder_radius(rgtp[live], k_eff)
+            level, S = _pick_level_span(grid, float(radii_all.max()), s_max)
+
+            def classify(part, radii):
+                B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
+                                             radii)
+                arr = np.asarray(_classify_stage(
+                    _stage_grid(grid, K), level, K, S, n_members,
+                    jnp.asarray(c_pad), jnp.asarray(r_pad), thr_dev, T=T))
+                w0 = arr[:part.size, 0]
+                n_in = w0 & 0x7FFFFFFF
+                ovf = (w0 >> 31) & 1
+                m2m = arr[:part.size, 1]
+                ok_v = ovf == 0
+                is_m1 = ok_v & (n_in < n_members) & minus1_open[part]
+                minus1_open[part[n_in >= n_members]] = False
+                idx = part[is_m1]
+                code[:, idx] = -1; mvir[:, idx] = -1.0; rvir[:, idx] = -1.0
+                resolved[:, idx] = True
+                for t in range(T):
+                    is_m2 = ok_v & (((m2m >> t) & 1) > 0) & ~is_m1
+                    idx = part[is_m2]
+                    code[t, idx] = -2
+                    mvir[t, idx] = -2.0
+                    rvir[t, idx] = -2.0
+                    resolved[t, idx] = True
+                # only fully-resolved halos skip the sorted rounds
+                return int(resolved[:, part].all(axis=0).sum())
+
+            start = 0
+            if auto:
+                ns = min(_solver.SURVEY_SAMPLE, live.size)
+                n_res = classify(live[:ns], radii_all[:ns])
+                start = ns if n_res >= _solver.SURVEY_FRAC * ns \
+                    else live.size
+            chunk = max(1, min(16384, int(min(slot_budget, 1 << 26) // K)))
+            for lo in range(0, live.size - start, chunk):
+                part = live[start + lo:start + lo + chunk]
+                classify(part, radii_all[start + lo:start + lo + part.size])
+
     guard = 0
     while not resolved.all():
         guard += 1

@@ -47,7 +47,9 @@ class SOParams:
     verbose: bool = False
     profile_dir: str | None = None     # jax.profiler trace output
     checkpoint: str | None = None      # solve-state save/resume (.npz)
-    survey: bool = False               # sort-free -1/-2 pre-pass (--survey)
+    survey: bool | None = None         # sort-free -1/-2 pre-pass: True
+    #                                    forces (--survey), False disables,
+    #                                    None auto-gates by sampling
 
 
 @dataclass
@@ -167,7 +169,8 @@ def run_so_multi(particles: ParticleSet, catalog: GroupCatalog,
         t0 = _time.perf_counter()
         with timer.phase("R_Delta solve (multi)"):
             multi = solve_rvir_multi(grid, centers, rgtp, thresholds,
-                                     n_members=params.n_members)
+                                     n_members=params.n_members,
+                                     survey=params.survey)
         for t in range(len(thresholds)):
             solve_t = SolveResult(
                 code=multi.code[t].copy(), mvir=multi.mvir[t].copy(),
@@ -207,7 +210,11 @@ def _scatter_derived(src, ok_rows, eligible, n, species):
 
 
 def _post_solve(grid, particles, catalog, centers, solve, params,
-                timer, members=None) -> SORun:
+                timer, members=None, fused_fn=None, derived_fn=None) -> SORun:
+    """``fused_fn``/``derived_fn`` inject multi-device shard_map stages
+    (parallel.mesh.sharded_fused_members_fn / sharded_derived_fn) into the
+    otherwise identical post-solve sequence; ``grid`` may then be a
+    grid_proxy."""
     ok = solve.code == 0
     derived_all = None
     if members is None:
@@ -223,7 +230,7 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
                 solve.j[ok], solve.mvir[ok],
                 host_mv=particles.vel * particles.mass[:, None],
                 n_members=params.n_members, species=tuple(params.species),
-                grav=params.grav)
+                grav=params.grav, stage_fn=fused_fn)
             members = [None] * catalog.n
             for slot, h in enumerate(np.nonzero(ok)[0]):
                 members[h] = members_ok[slot]
@@ -251,7 +258,8 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
                                       solve.j, eligible,
                                       n_members=params.n_members,
                                       species=tuple(params.species),
-                                      grav=params.grav)
+                                      grav=params.grav,
+                                      stage_fn=derived_fn)
 
     with timer.phase("stats"):
         stats = compute_stats(np.asarray(particles.mass), conflicts.igrp,

@@ -227,9 +227,9 @@ def _solve_stage_fused(grid: CellGrid, level: int, K: int, S: int,
     return jnp.concatenate([p1x, p2], axis=0)
 
 
-@partial(jax.jit, static_argnames=("level", "K", "S", "n_members"))
+@partial(jax.jit, static_argnames=("level", "K", "S", "n_members", "T"))
 def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
-                    n_members: int, centers, radii, thr):
+                    n_members: int, centers, radii, thresholds, T: int = 1):
     """Sort-free -1/-2 classification from the nearest hits.
 
     The -1 verdict needs only the in-ball count (kd2.c:772-778) and the
@@ -240,7 +240,12 @@ def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
     most halos fail these checks (83% on the 34M/1e6 box) skip the
     expensive sorted solve for them entirely; survivors re-run the
     normal rounds with identical semantics (the scan is round-stateless).
-    Returns packed i32 (B, 2): [n_in | m2<<30 | overflow<<31, 0].
+
+    ``thresholds`` is a (T,) vector — the -1 verdict is
+    threshold-independent and the -2 rule is evaluated per threshold
+    against the same prefix, so the multi-threshold engine shares one
+    classify gather. Returns packed i32 (B, 2):
+    [n_in | overflow<<31, m2 bitmask (bit t = -2 at thresholds[t])].
     """
     kk = min(K, max(16, n_members + 2))   # top_k k must not exceed K;
     #                                       a clamped window simply defers
@@ -275,12 +280,6 @@ def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
     slot = jnp.arange(kk, dtype=jnp.int32)[None, :]
     rho_next = jnp.concatenate(
         [rho[:, 1:], jnp.full((rho.shape[0], 1), jnp.inf)], axis=1)
-    pair_ok = ((rho < thr) & (rho_next < thr)
-               & (slot + 1 < n_in[:, None])
-               & (slot >= n_members - 2))
-    found_w = pair_ok.any(axis=1)
-    jstar_w = jnp.argmax(pair_ok, axis=1).astype(jnp.int32)
-    is_m2 = found_w & (jstar_w == n_members - 2)
     # tie-order robustness: the full solve's unstable sort may order
     # equal-d2 hits differently than top_k; cum at the decision slots is
     # order-invariant EXCEPT for ties straddling slots (m-2, m-1) or
@@ -288,13 +287,25 @@ def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
     # is the contract
     b1 = n_members - 2
     if b1 + 2 <= kk - 1:
-        is_m2 = is_m2 & (d2k[:, b1] != d2k[:, b1 + 1]) \
-                      & (d2k[:, b1 + 1] != d2k[:, b1 + 2])
+        no_tie = (d2k[:, b1] != d2k[:, b1 + 1]) \
+            & (d2k[:, b1 + 1] != d2k[:, b1 + 2])
     else:
-        is_m2 = jnp.zeros_like(is_m2)   # window too short to decide -2
-    w0 = (n_in | (is_m2.astype(jnp.int32) << 30)
-          | (overflow.astype(jnp.int32) << 31))
-    return jnp.stack([w0, jnp.zeros_like(w0)], axis=1)
+        no_tie = None                   # window too short to decide -2
+    m2_mask = jnp.zeros_like(n_in)
+    thresholds = jnp.atleast_1d(thresholds)
+    for t in range(T):
+        thr_t = thresholds[t]
+        pair_ok = ((rho < thr_t) & (rho_next < thr_t)
+                   & (slot + 1 < n_in[:, None])
+                   & (slot >= n_members - 2))
+        found_w = pair_ok.any(axis=1)
+        jstar_w = jnp.argmax(pair_ok, axis=1).astype(jnp.int32)
+        is_m2 = found_w & (jstar_w == n_members - 2)
+        is_m2 = is_m2 & no_tie if no_tie is not None \
+            else jnp.zeros_like(is_m2)
+        m2_mask = m2_mask | (is_m2.astype(jnp.int32) << t)
+    w0 = n_in | (overflow.astype(jnp.int32) << 31)
+    return jnp.stack([w0, m2_mask], axis=1)
 
 
 @partial(jax.jit, static_argnames=("level", "K", "S", "n_members"))
@@ -346,6 +357,14 @@ class SolveResult:
 # such rare giant tiers fall back to the XLA gather path
 K_SLAB_MAX = 1 << 15
 
+# --survey auto-gate (survey=None): catalogs below SURVEY_MIN_G halos skip
+# the pre-pass entirely (its dispatch would cost more than it saves); above
+# it, a SURVEY_SAMPLE-halo classify runs first and the full pre-pass only
+# proceeds when >= SURVEY_FRAC of the sample resolves as -1/-2
+SURVEY_MIN_G = 1 << 15
+SURVEY_SAMPLE = 1024
+SURVEY_FRAC = 0.25
+
 
 def _stage_grid(grid, K: int):
     """strip the Pallas payload for giant-K tiers."""
@@ -379,10 +398,14 @@ def _pick_level(grid: CellGrid, rmax: float, s_max: int) -> int:
     min_occ = 0
     if getattr(grid, "soa8t", None) is not None:
         min_occ = (3 * getattr(grid, "chunk", 256)) // 4
+    # occupancy is a per-grid property: on sharded grids each shard's own
+    # cells hold n_occ = n/nshards particles (grid_proxy sets n_occ), while
+    # the capacity ceiling _k_limit still uses the global count
+    n_occ = getattr(grid, "n_occ", grid.n)
     period = np.asarray(grid.period, np.float32)
     for g in range(grid.m + 1):
         cs = float(period.min()) / grid.ncell(g)
-        occ = grid.n / (grid.ncell(g) ** 3)
+        occ = n_occ / (grid.ncell(g) ** 3)
         if 2 * int(np.ceil(rmax / cs)) + 2 <= s_max and occ >= min_occ:
             return g
     return grid.m
@@ -421,13 +444,40 @@ def _pad_b(n: int, K: int) -> int:
     return _pad_to_bucket(n)
 
 
+def _dispatch_chunks(sel: np.ndarray, K: int, slot_budget: int):
+    """Chunk a live halo set so each dispatch's B*K slot buffers stay
+    within the budget — the ONE chunking rule for the survey, fused, and
+    classic rounds of solve_rvir (they previously triplicated it, with
+    the survey/fused copies ignoring slot_budget)."""
+    chunk = max(1, min(16384, int(min(slot_budget, 1 << 26) // K)))
+    for lo in range(0, sel.size, chunk):
+        yield lo, sel[lo:lo + chunk]
+
+
+def _pad_chunk(part_size: int, K: int, centers, radii):
+    """(B, padded centers, padded radii) for one dispatch chunk."""
+    B = _pad_b(part_size, K)
+    c_pad = np.zeros((B, 3), np.float32)
+    r_pad = np.zeros(B, np.float32)
+    c_pad[:part_size] = centers
+    r_pad[:part_size] = radii
+    return B, c_pad, r_pad
+
+
+def _dbg_stage(name: str, t0: float, **kv):
+    if os.environ.get("SO_TPU_DEBUG"):
+        fields = " ".join(f"{k}={v}" for k, v in kv.items())
+        print(f"so_tpu[solve]: {name} {fields} "
+              f"dt={(_pc() - t0) * 1e3:.1f}ms", file=sys.stderr, flush=True)
+
+
 def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                thr: float, n_members: int = 8,
                k0_cap: int = 4096, s_max: int = 11,
                slot_budget: int = 1 << 26,
                progress=None, stage_fn=None, fused=None,
                fused_b2: int = 256, fused_stage_fn=None,
-               survey: bool = False) -> SolveResult:
+               survey: bool | None = None) -> SolveResult:
     """Solve R_Delta for every halo (batched, staged capacity escalation).
 
     ``stage_fn(level, K, S, n_members, centers, radii, thr)`` overrides the
@@ -446,8 +496,11 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     ``survey``: run a sort-free -1/-2 classifier over the first ladder
     rung before the full rounds (see _classify_stage) — a large win for
     candidate-rich catalogs where most halos fail those checks, a small
-    extra dispatch otherwise. Single-device path only (needs direct grid
-    access); opt-in via the CLI's --survey.
+    extra dispatch otherwise. True forces it (CLI --survey), False
+    disables it, and the default None AUTO-gates: catalogs of
+    SURVEY_MIN_G+ halos classify a small sample first and continue only
+    if enough of it resolves. Single-device path only (needs direct grid
+    access).
     """
     default_stage = stage_fn is None
     if stage_fn is None:
@@ -565,47 +618,57 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         if progress is not None:
             progress(resolved.sum(), G)
 
-    if survey and default_stage and not resolved.all():
+    if survey is not False and default_stage and not resolved.all():
         # sort-free -1/-2 pre-pass over the first ladder rung: resolves
         # the candidate-poor bulk of survey catalogs without a K-wide
         # sort; survivors rescan rung 1 in the normal rounds (cheap
-        # relative to the skipped sorts — the scan is round-stateless)
+        # relative to the skipped sorts — the scan is round-stateless).
+        # survey=None is the AUTO gate: on sizeable catalogs, classify a
+        # small sample first and run the full pre-pass only when a
+        # meaningful fraction of it resolves — dense survey boxes get the
+        # 2.6x win with no flag, well-posed catalogs pay one small extra
+        # dispatch (and catalogs below SURVEY_MIN_G none at all).
         live = np.nonzero(~resolved)[0]
-        K = int(min(k0_cap, _k_limit(grid, s_max)))
-        k_eff = np.minimum(cur_k[live], kmax[live])
-        radii = ladder_radius(rgtp[live], k_eff)
-        level, S = _pick_level_span(grid, float(radii.max()), s_max)
-        chunk = max(1, min(16384, (1 << 26) // K))
-        for lo in range(0, live.size, chunk):
-            part = live[lo:lo + chunk]
-            B = _pad_b(part.size, K)
-            c_pad = np.zeros((B, 3), np.float32)
-            r_pad = np.zeros(B, np.float32)
-            c_pad[:part.size] = centers[part]
-            r_pad[:part.size] = radii[lo:lo + chunk]
-            t0 = _pc() if os.environ.get("SO_TPU_DEBUG") else 0.0
-            arr = np.asarray(_classify_stage(
-                _stage_grid(grid, K), level, K, S, n_members,
-                jnp.asarray(c_pad), jnp.asarray(r_pad), thr32))
-            if os.environ.get("SO_TPU_DEBUG"):
-                print(f"so_tpu[solve]: classify B={B} K={K} S={S} "
-                      f"level={level} n={part.size} "
-                      f"dt={(_pc() - t0) * 1e3:.1f}ms",
-                      file=sys.stderr, flush=True)
-            w0 = arr[:part.size, 0]
-            n_in = w0 & 0x3FFFFFFF
-            m2f = (w0 >> 30) & 1
-            ovf = (w0 >> 31) & 1
-            ok_v = ovf == 0
-            is_m1 = ok_v & (n_in < n_members) & minus1_open[part]
-            minus1_open[part[n_in >= n_members]] = False
-            is_m2 = ok_v & (m2f > 0) & ~is_m1
-            idx = part[is_m1]
-            code[idx] = -1; mvir[idx] = -1.0; rvir[idx] = -1.0
-            resolved[idx] = True
-            idx = part[is_m2]
-            code[idx] = -2; mvir[idx] = -2.0; rvir[idx] = -2.0
-            resolved[idx] = True
+        auto = survey is None
+        if not auto or live.size >= SURVEY_MIN_G:
+            K = int(min(k0_cap, _k_limit(grid, s_max)))
+            k_eff = np.minimum(cur_k[live], kmax[live])
+            radii_all = ladder_radius(rgtp[live], k_eff)
+            level, S = _pick_level_span(grid, float(radii_all.max()), s_max)
+            thr_vec = jnp.asarray([thr], jnp.float32)
+
+            def classify(part, radii):
+                B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
+                                             radii)
+                t0 = _pc()
+                arr = np.asarray(_classify_stage(
+                    _stage_grid(grid, K), level, K, S, n_members,
+                    jnp.asarray(c_pad), jnp.asarray(r_pad), thr_vec, T=1))
+                _dbg_stage("classify", t0, B=B, K=K, S=S, level=level,
+                           n=part.size)
+                w0 = arr[:part.size, 0]
+                n_in = w0 & 0x7FFFFFFF
+                ovf = (w0 >> 31) & 1
+                m2f = arr[:part.size, 1] & 1
+                ok_v = ovf == 0
+                is_m1 = ok_v & (n_in < n_members) & minus1_open[part]
+                minus1_open[part[n_in >= n_members]] = False
+                is_m2 = ok_v & (m2f > 0) & ~is_m1
+                idx = part[is_m1]
+                code[idx] = -1; mvir[idx] = -1.0; rvir[idx] = -1.0
+                resolved[idx] = True
+                idx = part[is_m2]
+                code[idx] = -2; mvir[idx] = -2.0; rvir[idx] = -2.0
+                resolved[idx] = True
+                return int(is_m1.sum() + is_m2.sum())
+
+            start = 0
+            if auto:
+                ns = min(SURVEY_SAMPLE, live.size)
+                n_res = classify(live[:ns], radii_all[:ns])
+                start = ns if n_res >= SURVEY_FRAC * ns else live.size
+            for lo, part in _dispatch_chunks(live[start:], K, slot_budget):
+                classify(part, radii_all[start + lo:start + lo + part.size])
 
     if fused and can_fuse and not resolved.all():
         # round 1 + compacted round 2 in one dispatch
@@ -630,17 +693,12 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         else:
             level2, S2 = _pick_level_span(grid, max(r2max, float(radii.max())),
                                           s_max)
-        chunk = max(1, min(16384, (1 << 26) // K))
-        for lo in range(0, live.size, chunk):
-            part = live[lo:lo + chunk]
-            B = _pad_b(part.size, K)
-            c_pad = np.zeros((B, 3), np.float32)
-            r_pad = np.zeros(B, np.float32)
+        for lo, part in _dispatch_chunks(live, K, slot_budget):
+            B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
+                                         radii[lo:lo + part.size])
             kl_pad = np.zeros(B, np.int32)
-            c_pad[:part.size] = centers[part]
-            r_pad[:part.size] = radii[lo:lo + chunk]
-            kl_pad[:part.size] = kmax[part] - k_eff[lo:lo + chunk]
-            t0 = _pc() if os.environ.get("SO_TPU_DEBUG") else 0.0
+            kl_pad[:part.size] = kmax[part] - k_eff[lo:lo + part.size]
+            t0 = _pc()
             if fused_stage_fn is not None:
                 packed = fused_stage_fn(
                     level, K, S, level2, K2, S2, B2, n_members, DK,
@@ -652,11 +710,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                     jnp.asarray(c_pad), jnp.asarray(r_pad),
                     jnp.asarray(kl_pad), thr32)
             arr = np.asarray(packed)
-            if os.environ.get("SO_TPU_DEBUG"):
-                print(f"so_tpu[solve]: fused B={B} K={K} S={S} level={level}"
-                      f" K2={K2} S2={S2} level2={level2} n={part.size} "
-                      f"dt={(_pc() - t0) * 1e3:.1f}ms",
-                      file=sys.stderr, flush=True)
+            _dbg_stage("fused", t0, B=B, K=K, S=S, level=level, K2=K2,
+                       S2=S2, level2=level2, n=part.size)
             ints1, flts1 = unpack_stage_out(arr[:part.size, :5])
             p2 = arr[B:]
             ids = p2[:, 5]
@@ -669,10 +724,10 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             mask1 = np.ones(part.size, bool)
             mask1[ids_l] = False
             apply_round(part[mask1], ints1[mask1], flts1[mask1],
-                        k_eff[lo:lo + chunk][mask1], K)
+                        k_eff[lo:lo + part.size][mask1], K)
             ints2, flts2 = unpack_stage_out(p2[ok2][:, :5])
             apply_round(part[ids_l], ints2, flts2,
-                        k_eff[lo:lo + chunk][ids_l] + steps[ok2], K2)
+                        k_eff[lo:lo + part.size][ids_l] + steps[ok2], K2)
 
     guard = 0
     while not resolved.all():
@@ -691,27 +746,16 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             k_eff = np.minimum(cur_k[sel], kmax[sel])
             radii = ladder_radius(rgtp[sel], k_eff)
             level, S = _pick_level_span(grid, float(radii.max()), s_max)
-            # chunk to bound B*K device memory
-            chunk = max(1, min(16384, int(slot_budget // K)))
-            chunk = max(1, min(chunk, (1 << 26) // K))
-            for lo in range(0, sel.size, chunk):
-                part = sel[lo:lo + chunk]
-                B = _pad_b(part.size, K)
-                c_pad = np.zeros((B, 3), np.float32)
-                r_pad = np.zeros(B, np.float32)
-                c_pad[:part.size] = centers[part]
-                r_pad[:part.size] = radii[lo:lo + chunk]
-                t0 = _pc() if os.environ.get("SO_TPU_DEBUG") else 0.0
+            for lo, part in _dispatch_chunks(sel, K, slot_budget):
+                B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
+                                             radii[lo:lo + part.size])
+                t0 = _pc()
                 packed = stage_fn(level, K, S, n_members,
                                   jnp.asarray(c_pad), jnp.asarray(r_pad),
                                   thr32)
                 ints, flts = unpack_stage_out(np.asarray(packed)[:part.size])
-                if os.environ.get("SO_TPU_DEBUG"):
-                    print(f"so_tpu[solve]: stage B={B} K={K} S={S} "
-                          f"level={level} n={part.size} "
-                          f"rmax={float(r_pad.max()):.4g} "
-                          f"dt={(_pc() - t0) * 1e3:.1f}ms",
-                          file=sys.stderr, flush=True)
-                apply_round(part, ints, flts, k_eff[lo:lo + chunk], K)
+                _dbg_stage("stage", t0, B=B, K=K, S=S, level=level,
+                           n=part.size, rmax=f"{float(r_pad.max()):.4g}")
+                apply_round(part, ints, flts, k_eff[lo:lo + part.size], K)
     return SolveResult(code=code, mvir=mvir, rvir=rvir, j=jout, d2cut=d2cut,
                        vcm=vcm, kcap=kcap)

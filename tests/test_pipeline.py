@@ -51,6 +51,38 @@ def test_run_so_end_to_end():
     assert prof[-1] >= float(run.mvir[0]) * 0.9
 
 
+def test_vcm_identical_across_member_paths():
+    """The fused members+derived pass and the plain extract_members host
+    path share one vcm accumulation order (members.vcm_from_members) and
+    must produce identical bits (VERDICT r2 weak #7 / PARITY #8)."""
+    from so_tpu.engine.fused import members_and_derived
+    from so_tpu.engine.members import extract_members
+    from so_tpu.engine.solver import solve_rvir
+    from so_tpu.ops import build_grid
+
+    rng = np.random.default_rng(31)
+    clumps = [dict(center=(0.1, 0.1, 0.1), n=1800, rmax=0.06, mass_total=0.2),
+              dict(center=(-0.3, 0.25, -0.2), n=900, rmax=0.04,
+                   mass_total=0.07)]
+    data = make_clumpy_box(rng, n_background=4000, clumps=clumps)
+    grid = build_grid(data["pos"], data["mass"], vel=data["vel"],
+                      phi=data["phi"])
+    centers = np.array([(0.1, 0.1, 0.1), (-0.3, 0.25, -0.2)], np.float32)
+    rgtp = np.array([0.04, 0.03], np.float32)
+    solve = solve_rvir(grid, centers, rgtp, 178.0)
+    ok = solve.code == 0
+    assert ok.all()
+    host_mv = data["vel"] * data["mass"][:, None]
+    m_f, vcm_f, _ = members_and_derived(
+        grid, centers, solve.rvir, solve.d2cut, solve.j, solve.mvir,
+        host_mv=host_mv)
+    m_p, vcm_p = extract_members(grid, centers, solve.d2cut, solve.j,
+                                 solve.mvir, host_mv=host_mv)
+    for a, b in zip(m_f, m_p):
+        np.testing.assert_array_equal(np.sort(a), np.sort(b))
+    np.testing.assert_array_equal(vcm_f, vcm_p)
+
+
 def _conflict_inputs(igrp_members, positions, rvirs, codes, masses):
     index = np.arange(1, len(positions) + 1, dtype=np.int32)
     return index, np.asarray(positions, np.float32), \

@@ -310,13 +310,49 @@ def test_cli_mesh_flag_matches_default(tmp_path):
         lb = [l for l in open(b, "rb").read().splitlines()
               if not (l.startswith(b"# Run on") or b"written to" in l)]
         assert la == lb, ext
-    # .sogtp carries vel = vcm, whose f32 summation association legitimately
-    # differs between the sharded (device merge) and fused (f64 prefix)
-    # paths — compare with field tolerances instead of bytes
-    from util_compare import compare_sogtp
-    errs = compare_sogtp(f"{workdir}/single.sogtp", f"{workdir}/meshed.sogtp",
-                         False)
-    assert not errs, "\n".join(errs[:4])
+    # .sogtp carries vel = vcm: both pipelines now route through the fused
+    # members+derived pass and the shared vcm_from_members accumulation
+    # (PARITY #8), so the catalogs are byte-identical
+    assert open(f"{workdir}/single.sogtp", "rb").read() == \
+        open(f"{workdir}/meshed.sogtp", "rb").read()
+
+
+def test_cli_mesh_deltas_matches_default(tmp_path):
+    """--mesh combined with --deltas: the sharded multi-threshold pipeline
+    must reproduce the single-device --deltas outputs exactly."""
+    import sys as _sys
+
+    HERE2 = os.path.dirname(os.path.abspath(__file__))
+    _sys.path.insert(0, HERE2)
+    from fixtures import write_gtp, write_snapshot
+
+    from so_tpu.cli import main
+
+    rng = np.random.default_rng(41)
+    clumps = [dict(center=(0.1, 0.0, -0.1), n=900, rmax=0.05,
+                   mass_total=0.18),
+              dict(center=(-0.25, 0.3, 0.2), n=700, rmax=0.04,
+                   mass_total=0.09)]
+    d = make_clumpy_box(rng, n_background=1500, clumps=clumps)
+    workdir = str(tmp_path)
+    write_snapshot(f"{workdir}/snap.bin", d)
+    write_gtp(f"{workdir}/cat.gtp", [c["center"] for c in clumps],
+              [0.045, 0.04], [0.18, 0.09])
+    base = ["-i", f"{workdir}/cat.gtp", "--tipsy", f"{workdir}/snap.bin",
+            "-grp", "-gtp", "--deltas", "150,500"]
+    assert main(base + ["-o", f"{workdir}/single"]) == 0
+    assert main(base + ["-o", f"{workdir}/meshed", "--mesh", "2x4"]) == 0
+    for dstr in ("150", "500"):
+        for ext in ("sovcirc", "sogrp"):
+            a = f"{workdir}/single.d{dstr}.{ext}"
+            b = f"{workdir}/meshed.d{dstr}.{ext}"
+            la = [l for l in open(a, "rb").read().splitlines()
+                  if not (l.startswith(b"# Run on") or b"written to" in l)]
+            lb = [l for l in open(b, "rb").read().splitlines()
+                  if not (l.startswith(b"# Run on") or b"written to" in l)]
+            assert la == lb, (dstr, ext)
+        assert open(f"{workdir}/single.d{dstr}.sogtp", "rb").read() == \
+            open(f"{workdir}/meshed.d{dstr}.sogtp", "rb").read()
 
 
 def test_sharded_recenter_matches_single(data):

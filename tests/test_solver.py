@@ -209,3 +209,68 @@ def test_survey_classifier_matches_full_solve():
     # the mix actually covers all three outcomes at the default threshold
     w = solve_rvir(grid, centers, rgtp, 178.0)
     assert set(np.unique(w.code)) >= {0, -1, -2}
+
+
+def _survey_problem(seed=55):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_clumpy_box
+
+    from so_tpu.ops import build_grid
+
+    rng = np.random.default_rng(seed)
+    d = make_clumpy_box(rng, n_background=6000, clumps=[
+        dict(center=(0.2, 0.2, 0.2), n=2000, rmax=0.06, mass_total=0.25)])
+    grid = build_grid(d["pos"], d["mass"], m=3)
+    centers = np.array([
+        (0.2, 0.2, 0.2), (-0.4, -0.4, -0.4), (-0.35, 0.4, -0.4),
+        (0.21, 0.19, 0.2), (0.4, -0.4, 0.4),
+    ], np.float32)
+    rgtp = np.array([0.05, 0.004, 0.2, 0.04, 0.15], np.float32)
+    return grid, centers, rgtp
+
+
+def test_survey_auto_gate_matches_forced(monkeypatch):
+    """survey=None (auto) samples a first chunk and must produce the same
+    results whether the gate opens (survey-heavy catalog) or stays closed
+    (well-posed catalog). Constants are patched so the tiny catalog
+    exercises the gate."""
+    from so_tpu.engine import solver
+
+    grid, centers, rgtp = _survey_problem()
+    monkeypatch.setattr(solver, "SURVEY_MIN_G", 4)
+    monkeypatch.setattr(solver, "SURVEY_SAMPLE", 2)
+    want = solver.solve_rvir(grid, centers, rgtp, 178.0, survey=False)
+    # sample = first 2 halos: one success + one -1 -> 50% >= FRAC: opens
+    got_open = solver.solve_rvir(grid, centers, rgtp, 178.0, survey=None)
+    # FRAC > 1 forces the gate closed after the sample
+    monkeypatch.setattr(solver, "SURVEY_FRAC", 2.0)
+    got_closed = solver.solve_rvir(grid, centers, rgtp, 178.0, survey=None)
+    for got in (got_open, got_closed):
+        np.testing.assert_array_equal(got.code, want.code)
+        np.testing.assert_array_equal(got.mvir, want.mvir)
+        np.testing.assert_array_equal(got.rvir, want.rvir)
+        np.testing.assert_array_equal(got.j, want.j)
+
+
+def test_survey_multi_threshold_matches_full(monkeypatch):
+    """solve_rvir_multi with the survey classifier (forced and auto) must
+    equal the plain multi solve per threshold."""
+    from so_tpu.engine import solver
+    from so_tpu.engine.multi import solve_rvir_multi
+
+    grid, centers, rgtp = _survey_problem()
+    thresholds = [178.0, 1e-4, 500.0]
+    want = solve_rvir_multi(grid, centers, rgtp, thresholds, survey=False)
+    got = solve_rvir_multi(grid, centers, rgtp, thresholds, survey=True)
+    monkeypatch.setattr(solver, "SURVEY_MIN_G", 4)
+    monkeypatch.setattr(solver, "SURVEY_SAMPLE", 2)
+    got_auto = solve_rvir_multi(grid, centers, rgtp, thresholds, survey=None)
+    for g in (got, got_auto):
+        np.testing.assert_array_equal(g.code, want.code)
+        np.testing.assert_array_equal(g.mvir, want.mvir)
+        np.testing.assert_array_equal(g.rvir, want.rvir)
+        np.testing.assert_array_equal(g.j, want.j)
+        np.testing.assert_array_equal(g.d2cut, want.d2cut)

@@ -63,14 +63,32 @@ def main():
     from so_tpu.engine.solver import solve_rvir
     from so_tpu.ops import build_grid
 
+    import jax.numpy as jnp
+
+    def sync(a):
+        # jax.block_until_ready does NOT block over the axon tunnel; a
+        # 1-element fetch is the reliable device sync
+        np.asarray(jax.device_get(a[..., :1]))
+
     rng = np.random.default_rng(12345)
     t0 = time.perf_counter()
     pos, mass, vel, centers, rgtp = make_box(rng, n_particles, n_halos)
     gen_s = time.perf_counter() - t0
 
+    # tunnel round-trip latency: median of tiny dispatch+fetch pairs
+    one = jnp.zeros((), jnp.float32)
+    rtts = []
+    for i in range(7):
+        t0 = time.perf_counter()
+        np.asarray(one + np.float32(i))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts[1:]))
+
     t0 = time.perf_counter()
     grid = build_grid(pos, mass, vel=vel)
-    jax.block_until_ready(grid.pos)
+    sync(grid.mass)
+    if grid.soa8t is not None:
+        sync(grid.soa8t)
     build_s = time.perf_counter() - t0
 
     thr = 178.0
@@ -80,14 +98,23 @@ def main():
     res = solve_rvir(grid, centers, rgtp, thr, survey=survey)
     warm_s = time.perf_counter() - t0
 
-    # best-of-3: remote-tunnel latency and terminal throttling drift
+    # best-of-5: remote-tunnel latency and terminal throttling drift
     # run-to-run; the minimum is the reproducible device time
+    from so_tpu.engine import solver as _solver
+
     reps = []
+    disp = []
     for _ in range(5):
+        d0 = _solver.DISPATCHES
         t0 = time.perf_counter()
         res = solve_rvir(grid, centers, rgtp, thr, survey=survey)
         reps.append(time.perf_counter() - t0)
+        disp.append(_solver.DISPATCHES - d0)
     solve_s = min(reps)
+    # device-time estimate: wall minus the measured tunnel round-trip per
+    # dispatch — separates real kernel regressions from terminal/tunnel
+    # contention (the wall number alone conflates them)
+    dev_est = max(solve_s - disp[-1] * rtt, 0.0)
 
     ok = int((res.code == 0).sum())
     rate = n_halos / solve_s
@@ -96,6 +123,8 @@ def main():
           f"gen={gen_s:.1f}s grid={build_s:.1f}s warm={warm_s:.1f}s "
           f"solve={solve_s:.3f}s (reps: "
           f"{', '.join(f'{r:.3f}' for r in reps)}) "
+          f"rtt={rtt * 1e3:.1f}ms dispatches={disp[-1]} "
+          f"dev~{dev_est:.3f}s ({n_halos / max(dev_est, 1e-9):.0f}/s) "
           f"device={jax.devices()[0].device_kind}",
           file=sys.stderr)
 

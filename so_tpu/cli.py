@@ -40,7 +40,7 @@ so_tpu -i <SKID .gtp file> [-o <outfilebase>] [([-dark] [-gas] [-star]) || [-all
       [-u <fMassUnit> <fMpcUnit>]
       [--tipsy <snapshot>] [--verbose] [--profile <trace-dir>]
       [--deltas d1,d2,...] [--checkpoint <state.npz>] [--mesh HxP]
-      [--survey]
+      [--survey] [--distributed]
 
 Spherical-overdensity halo characterization (TPU-native engine). For every
 group center in the input .gtp catalog, finds the smallest radius R inside
@@ -121,6 +121,7 @@ def main(argv=None) -> int:
     deltas = None
     mesh_shape = None
     b_survey = False
+    b_distributed = False
 
     def need(i):
         if i >= len(argv):
@@ -219,6 +220,13 @@ def main(argv=None) -> int:
             # catalogs where most centers fail the membership/threshold
             # checks (engine/solver._classify_stage)
             b_survey = True; i += 1
+        elif a == "--distributed":
+            # multi-controller extension: run the same command on every
+            # process of a jax.distributed job (JAX_COORDINATOR_ADDRESS /
+            # JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars, or a cluster
+            # auto-detector); each host reads only its snapshot segment
+            # and process 0 writes the outputs (parallel/driver.py)
+            b_distributed = True; i += 1
         elif a == "--mesh":
             # multi-chip extension: HxP (halo x part) device mesh — solve,
             # member extraction, and derived quantities run sharded over
@@ -250,21 +258,52 @@ def main(argv=None) -> int:
             sys.stderr.write(f"ERROR opening file {name or a[0]}\n")
             raise SystemExit(1)
 
-    # snapshot from stdin (so.c:457) or --tipsy
-    src = tipsy_file if tipsy_file is not None else sys.stdin.buffer
-    particles = checked(read_tipsy, src, b_standard, name=tipsy_file or "stdin")
-    h = particles.header
+    is_p0 = True
+    if b_distributed:
+        # multi-controller: never read the whole snapshot on any host —
+        # the header gives the counts, run_so_distributed reads segments
+        if tipsy_file is None:
+            sys.stderr.write("--distributed requires --tipsy <file> "
+                             "(snapshot segments are seek-read per host)\n")
+            raise SystemExit(1)
+        from .io.tipsy import read_header
+        from .parallel.distributed import init_distributed
+
+        if not init_distributed():
+            sys.stderr.write(
+                "--distributed: no coordinator configured (set "
+                "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                "JAX_PROCESS_ID or run under a supported cluster)\n")
+            raise SystemExit(1)
+        import jax
+
+        is_p0 = jax.process_index() == 0
+        with open(tipsy_file, "rb") as fp:
+            h = checked(read_header, fp, b_standard, name=tipsy_file)
+        particles = None
+        n_particles = h.nbodies
+    else:
+        # snapshot from stdin (so.c:457) or --tipsy
+        src = tipsy_file if tipsy_file is not None else sys.stdin.buffer
+        particles = checked(read_tipsy, src, b_standard,
+                            name=tipsy_file or "stdin")
+        h = particles.header
+        n_particles = particles.n
     # the reference stores the header time in a float (kd->fTime, kd2.h:119);
     # the redshift default and the .sogtp header inherit that rounding
     f_time = float(np.float32(h.time))
-    sys.stderr.write(f"nDark:{h.ndark} nGas:{h.nsph} nStar:{h.nstar}\n")
-    sys.stderr.write(f"Read {particles.n} particles from TIPSY file.\n")
+    if is_p0:
+        sys.stderr.write(f"nDark:{h.ndark} nGas:{h.nsph} nStar:{h.nstar}\n")
+        sys.stderr.write(f"Read {n_particles} particles from TIPSY file.\n")
 
+    mask = None
     if b_mark:
         assert mark_file is not None
-        mask, nmark = checked(read_mark, mark_file, particles.n)
-        particles.mark = mask
-        sys.stderr.write(f"{nmark} mark particles read from {mark_file}\n")
+        mask, nmark = checked(read_mark, mark_file, n_particles)
+        if particles is not None:
+            particles.mark = mask
+        if is_p0:
+            sys.stderr.write(f"{nmark} mark particles read from {mark_file}\n")
 
     if not b_redshift:
         f_redshift = float(np.float32(1.0 / f_time - 1.0))   # so.c:470-472
@@ -277,11 +316,13 @@ def main(argv=None) -> int:
     run_time = _time.time()
     catalog = checked(read_gtp_list, gtp_file, list_file, f_min_mass,
                       b_standard)
-    sys.stderr.write(f"Read {catalog.n} groups to process.\n")
+    if is_p0:
+        sys.stderr.write(f"Read {catalog.n} groups to process.\n")
 
     if stat_file is not None:
         nrep = checked(read_stat, catalog, stat_file, name=stat_file)
-        sys.stderr.write(f"Replaced {nrep} group centers.\n")
+        if is_p0:
+            sys.stderr.write(f"Replaced {nrep} group centers.\n")
         if nrep != catalog.n:
             sys.stderr.write("ERROR in reading .stat file!\n")
             raise SystemExit(1)
@@ -331,11 +372,17 @@ def main(argv=None) -> int:
         # principle as the --mesh guard above
         sys.stderr.write("--deltas with --checkpoint is not supported yet\n")
         raise SystemExit(1)
-    if b_survey and mesh_shape is not None:
+    if b_distributed and (mesh_shape is not None or checkpoint is not None
+                          or deltas is not None):
+        sys.stderr.write("--distributed cannot be combined with --mesh, "
+                         "--checkpoint, or --deltas yet\n")
+        raise SystemExit(1)
+    if b_survey and (mesh_shape is not None or b_distributed):
         # the classifier pre-pass needs direct grid access (single-device
         # only); it is an optimization, so warn-and-continue
-        sys.stderr.write("note: --survey is ignored with --mesh "
-                         "(not supported yet)\n")
+        sys.stderr.write("note: --survey is ignored with "
+                         f"{'--mesh' if mesh_shape is not None else '--distributed'}"
+                         " (not supported yet)\n")
         b_survey = False
 
     # --survey forces the classifier pre-pass; without the flag the engine
@@ -361,7 +408,19 @@ def main(argv=None) -> int:
             raise SystemExit(1)
         mesh = make_mesh(*mesh_shape, devices=jax.devices()[:n_dev])
 
-    if deltas is not None:
+    if b_distributed:
+        from jax.experimental import multihost_utils
+
+        from .parallel.driver import run_so_distributed
+
+        run = run_so_distributed(tipsy_file, catalog, params,
+                                 standard=b_standard, mark_mask=mask)
+        if is_p0:
+            write_outputs(out_base, run, f_threshold, b_threshold)
+        # writers finish on process 0 before any process may exit
+        multihost_utils.sync_global_devices("so_tpu_distributed_done")
+        solve_seconds = run.solve_seconds
+    elif deltas is not None:
         thresholds = [float(np.float32(d * np.float32(f_omega)))
                       for d in deltas]
         if mesh is not None:
@@ -388,10 +447,11 @@ def main(argv=None) -> int:
         write_outputs(out_base, run, f_threshold, b_threshold)
         solve_seconds = run.solve_seconds
 
-    sec = int(solve_seconds)
-    usec = int((solve_seconds - sec) * 1e6)
-    sys.stderr.write("SO CPU Time:")
-    sys.stderr.write("   %d.%06d\n\n" % (sec, usec))
+    if is_p0:
+        sec = int(solve_seconds)
+        usec = int((solve_seconds - sec) * 1e6)
+        sys.stderr.write("SO CPU Time:")
+        sys.stderr.write("   %d.%06d\n\n" % (sec, usec))
     return 0
 
 

@@ -104,7 +104,8 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                         mvir: np.ndarray, host_mv: np.ndarray,
                         n_members: int = 8, species: tuple = (),
                         grav: float = 1.0, s_max: int = 11,
-                        slot_budget: int = 1 << 25, stage_fn=None):
+                        slot_budget: int = 1 << 25, stage_fn=None,
+                        vcm_fn=None):
     """One fused pass over the solved halos: (members, vcm, DerivedResult).
 
     Same escalation shape as engine.members.extract_members /
@@ -115,6 +116,12 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
     fused stage with the same output contract as _fused_stage — the
     multi-device path (parallel.mesh.sharded_fused_members_fn) injects its
     shard_map stage here and reuses this escalation driver unchanged.
+
+    ``vcm_fn(rows, counts, mvir_rows) -> (n, 3) f32`` overrides the
+    host-side vcm computation for hosts that hold only a particle segment
+    (parallel.driver computes per-segment member_mv_sums partials and
+    merges them across processes); default: members.vcm_from_members over
+    ``host_mv``.
     """
     from .solver import _chunk_for, _k_limit, _pad_b, _pick_level_span, _stage_grid
 
@@ -158,7 +165,8 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
     need_cap = 2 ** np.ceil(np.log2(np.maximum(est, 256))).astype(np.int64)
     todo = np.arange(G)
     guard = 0
-    mvh = np.asarray(host_mv, np.float32)   # per-particle m*v
+    # per-particle m*v (None when vcm_fn supplies segment-partial sums)
+    mvh = None if host_mv is None else np.asarray(host_mv, np.float32)
     import os
     import sys
     from time import perf_counter as _pc
@@ -253,8 +261,11 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
 
             # group mean velocity from the member rows (_VcmParticles) —
             # shared batch-invariant accumulation (members.vcm_from_members)
-            from .members import vcm_from_members
-            vcm[idx] = vcm_from_members(mvh, rows64, counts_p,
-                                        mvir[part])[okm]
+            if vcm_fn is not None:
+                vcm[idx] = vcm_fn(rows64, counts_p, mvir[part])[okm]
+            else:
+                from .members import vcm_from_members
+                vcm[idx] = vcm_from_members(mvh, rows64, counts_p,
+                                            mvir[part])[okm]
         todo = np.asarray(next_todo, np.int64)
     return out_members, vcm, derived

@@ -39,17 +39,26 @@ def vcm_from_members(mvh: np.ndarray, rows: np.ndarray, counts: np.ndarray,
     distance within each halo); ``counts``: per-halo lengths; ``mvh``:
     per-particle m*v.
     """
+    sums = member_mv_sums(mvh, rows, counts)
+    return (sums / np.maximum(np.asarray(mvir, np.float64)[:, None], 1e-300)
+            ).astype(np.float32) * (np.asarray(counts, np.int64) > 0)[:, None]
+
+
+def member_mv_sums(mvh: np.ndarray, rows: np.ndarray,
+                   counts: np.ndarray) -> np.ndarray:
+    """(G, 3) f64 per-halo sequential sums of mvh over concatenated member
+    rows — the reduction core of vcm_from_members, exposed separately so a
+    multi-controller host can compute the partial over its own particle
+    segment (parallel.driver sums the per-host partials in host order)."""
     counts = np.asarray(counts, np.int64)
     G = counts.shape[0]
-    out = np.zeros((G, 3), np.float32)
+    sums = np.zeros((G, 3), np.float64)
     nz = counts > 0
-    if not nz.any():
-        return out
-    seg_starts = (np.cumsum(counts) - counts)[nz]
-    sums = np.add.reduceat(mvh[rows].astype(np.float64), seg_starts, axis=0)
-    out[nz] = (sums / np.asarray(mvir, np.float64)[nz, None]) \
-        .astype(np.float32)
-    return out
+    if nz.any():
+        seg_starts = (np.cumsum(counts) - counts)[nz]
+        sums[nz] = np.add.reduceat(mvh[rows].astype(np.float64), seg_starts,
+                                   axis=0)
+    return sums
 
 
 def _pack_prefix(rows_sorted, counts, cap: int):

@@ -210,11 +210,15 @@ def _scatter_derived(src, ok_rows, eligible, n, species):
 
 
 def _post_solve(grid, particles, catalog, centers, solve, params,
-                timer, members=None, fused_fn=None, derived_fn=None) -> SORun:
+                timer, members=None, fused_fn=None, derived_fn=None,
+                vcm_fn=None, n_particles=None, stats_fn=None) -> SORun:
     """``fused_fn``/``derived_fn`` inject multi-device shard_map stages
     (parallel.mesh.sharded_fused_members_fn / sharded_derived_fn) into the
     otherwise identical post-solve sequence; ``grid`` may then be a
-    grid_proxy."""
+    grid_proxy. ``vcm_fn``/``n_particles`` support multi-controller hosts
+    that hold only a particle segment (parallel.driver): vcm comes from
+    merged per-segment partials and the conflict pass sizes its arrays
+    from the GLOBAL particle count."""
     ok = solve.code == 0
     derived_all = None
     if members is None:
@@ -228,9 +232,10 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
             members_ok, vcm_ok, derived_all = members_and_derived(
                 grid, centers[ok], solve.rvir[ok], solve.d2cut[ok],
                 solve.j[ok], solve.mvir[ok],
-                host_mv=particles.vel * particles.mass[:, None],
+                host_mv=(None if vcm_fn is not None
+                         else particles.vel * particles.mass[:, None]),
                 n_members=params.n_members, species=tuple(params.species),
-                grav=params.grav, stage_fn=fused_fn)
+                grav=params.grav, stage_fn=fused_fn, vcm_fn=vcm_fn)
             members = [None] * catalog.n
             for slot, h in enumerate(np.nonzero(ok)[0]):
                 members[h] = members_ok[slot]
@@ -241,7 +246,9 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
         order = indexx(np.asarray(catalog.gtp_mass, np.float32))
         conflicts = resolve_conflicts(catalog.index, centers, solve.mvir,
                                       solve.rvir, solve.code, order,
-                                      members, particles.n)
+                                      members,
+                                      n_particles if n_particles is not None
+                                      else particles.n)
 
     eligible = ok & ~conflicts.slurped_own  # kdSO eligibility (kd2.c:884)
     with timer.phase("derived quantities"):
@@ -262,10 +269,14 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
                                       stage_fn=derived_fn)
 
     with timer.phase("stats"):
-        stats = compute_stats(np.asarray(particles.mass), conflicts.igrp,
-                              conflicts.n_subsumed, conflicts.n_ignored,
-                              conflicts.mvir, conflicts.groups_removed,
-                              conflicts.groups_slurped)
+        if stats_fn is not None:
+            stats = stats_fn(conflicts)
+        else:
+            stats = compute_stats(np.asarray(particles.mass),
+                                  conflicts.igrp,
+                                  conflicts.n_subsumed, conflicts.n_ignored,
+                                  conflicts.mvir, conflicts.groups_removed,
+                                  conflicts.groups_slurped)
 
     run = SORun(catalog=catalog, solve=solve, conflicts=conflicts,
                 derived=derived, stats=stats, order=order)

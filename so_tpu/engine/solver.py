@@ -365,6 +365,28 @@ SURVEY_MIN_G = 1 << 15
 SURVEY_SAMPLE = 1024
 SURVEY_FRAC = 0.25
 
+# minimum round population for per-halo level bucketing (_bucket_levels):
+# small tail rounds are dispatch-round-trip-bound, where splitting into
+# level groups costs more than the smaller sort tiers save
+BUCKET_MIN = 2048
+
+
+def _level_groups(grid, radii: np.ndarray, s_max: int):
+    """[(level, S, member-positions)] for one dispatch round: per-halo
+    footprint-minimizing levels when the round is big enough to amortize
+    extra dispatches, else the single legacy level."""
+    if radii.size >= BUCKET_MIN:
+        lv = _bucket_levels(grid, radii, s_max)
+        out = []
+        for g in np.unique(lv):
+            b = np.nonzero(lv == g)[0]
+            out.append((int(g), _span_at(grid, int(g),
+                                         float(radii[b].max()), s_max), b))
+        return out
+    level, S = _pick_level_span(grid, float(radii.max()) if radii.size
+                                else 1e-30, s_max)
+    return [(level, S, np.arange(radii.size))]
+
 
 def _stage_grid(grid, K: int):
     """strip the Pallas payload for giant-K tiers."""
@@ -421,6 +443,52 @@ def _pick_level_span(grid: CellGrid, rmax: float, s_max: int) -> tuple[int, int]
     return g, max(span, 1)
 
 
+def _span_at(grid, g: int, rmax: float, s_max: int) -> int:
+    """Covering cube side for radius rmax at level g (clipped to s_max /
+    the level's cell count)."""
+    cs = float(np.asarray(grid.period, np.float32).min()) / grid.ncell(g)
+    return max(min(int(2 * rmax / cs) + 2, s_max, grid.ncell(g)), 1)
+
+
+def _bucket_levels(grid, radii: np.ndarray, s_max: int) -> np.ndarray:
+    """Per-halo footprint-minimizing grid level (the dense-box fix).
+
+    Cost model per level g: expected candidate rows — mean cell occupancy
+    x mean intersected cells (1 + 2r/cs)^3 — plus the slab path's
+    CHUNK-aligned run slack (~(1 + cells/3) merged runs; calibrated
+    against exact cell_ranges totals in experiments/level_cost_probe.py).
+
+    The old rule picked ONE level per dispatch with a hard occupancy
+    floor (3/4*chunk), which on dense boxes forced every small halo into
+    the coarse level's 8k+ slot footprints and thus the K=16384 sort tier
+    — 8.3k solves/s on the 34M/1e6 box (docs/RESULTS.md round 2).
+    Minimizing the expected footprint per halo lets small halos solve in
+    small sort tiers (the sort is superlinear in K). A 15% hysteresis
+    prefers the coarsest near-optimal level (fuller DMA chunks, fewer
+    dispatch groups). Exactness is level-independent: every level yields
+    the same hit set (the acceptance test is d2 <= r2, not cell
+    membership).
+    """
+    radii = np.maximum(np.asarray(radii, np.float64), 1e-30)
+    n_occ = getattr(grid, "n_occ", grid.n)
+    chunk = getattr(grid, "chunk", 256) \
+        if getattr(grid, "soa8t", None) is not None else 0
+    period = float(np.asarray(grid.period, np.float32).min())
+    L = grid.m + 1
+    costs = np.full((L, radii.size), np.inf)
+    for g in range(L):
+        ncg = grid.ncell(g)
+        cs = period / ncg
+        need = (2.0 * radii / cs).astype(np.int64) + 2
+        ok = (need <= s_max) | (ncg <= s_max)   # ncg <= s_max: whole box
+        ecells = (1.0 + 2.0 * radii / cs) ** 3
+        cost = (n_occ / ncg ** 3) * ecells + (1.0 + ecells / 3.0) * chunk
+        costs[g, ok] = cost[ok]
+    cmin = costs.min(axis=0)
+    good = costs <= cmin[None, :] * 1.15
+    return ((L - 1) - np.argmax(good[::-1], axis=0)).astype(np.int32)
+
+
 def _pad_to_bucket(n: int, buckets=(256, 1024, 4096)) -> int:
     for b in buckets:
         if n <= b:
@@ -464,7 +532,15 @@ def _pad_chunk(part_size: int, K: int, centers, radii):
     return B, c_pad, r_pad
 
 
+# host->device dispatch round-trips issued by solve_rvir (all rounds);
+# bench.py reads the delta per rep to separate device time from the
+# remote-tunnel round-trip cost (VERDICT r2 weak #1)
+DISPATCHES = 0
+
+
 def _dbg_stage(name: str, t0: float, **kv):
+    global DISPATCHES
+    DISPATCHES += 1
     if os.environ.get("SO_TPU_DEBUG"):
         fields = " ".join(f"{k}={v}" for k, v in kv.items())
         print(f"so_tpu[solve]: {name} {fields} "
@@ -634,10 +710,9 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             K = int(min(k0_cap, _k_limit(grid, s_max)))
             k_eff = np.minimum(cur_k[live], kmax[live])
             radii_all = ladder_radius(rgtp[live], k_eff)
-            level, S = _pick_level_span(grid, float(radii_all.max()), s_max)
             thr_vec = jnp.asarray([thr], jnp.float32)
 
-            def classify(part, radii):
+            def classify(part, radii, level, S):
                 B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
                                              radii)
                 t0 = _pc()
@@ -662,72 +737,92 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 resolved[idx] = True
                 return int(is_m1.sum() + is_m2.sum())
 
+            def run_classify(idx_arr, rads):
+                total = 0
+                if idx_arr.size == 0:
+                    return total
+                for level, S, b in _level_groups(grid, rads, s_max):
+                    sel_g, rad_g = idx_arr[b], rads[b]
+                    for lo, part in _dispatch_chunks(sel_g, K, slot_budget):
+                        total += classify(part, rad_g[lo:lo + part.size],
+                                          level, S)
+                return total
+
             start = 0
             if auto:
                 ns = min(SURVEY_SAMPLE, live.size)
-                n_res = classify(live[:ns], radii_all[:ns])
+                n_res = run_classify(live[:ns], radii_all[:ns])
                 start = ns if n_res >= SURVEY_FRAC * ns else live.size
-            for lo, part in _dispatch_chunks(live[start:], K, slot_budget):
-                classify(part, radii_all[start + lo:start + lo + part.size])
+            run_classify(live[start:], radii_all[start:])
 
     if fused and can_fuse and not resolved.all():
-        # round 1 + compacted round 2 in one dispatch
+        # round 1 + compacted round 2 in one dispatch, bucketed by the
+        # per-halo footprint-minimizing level (_bucket_levels): small
+        # halos of dense boxes stay in small footprints/sort tiers while
+        # big halos dispatch at coarser levels
         live = np.nonzero(~resolved)[0]
         K = int(min(k0_cap, _k_limit(grid, s_max)))
         K2 = int(min(K_SLAB_MAX, _k_limit(grid, s_max), 8 * K))
         B2 = fused_b2   # tier-2 rows per dispatch; halos beyond this
         #                 spill into the classic escalation rounds
-        k_eff = np.minimum(cur_k[live], kmax[live])
-        radii = ladder_radius(rgtp[live], k_eff)
-        level, S = _pick_level_span(grid, float(radii.max()), s_max)
-        r2max = float(ladder_radius(
-            rgtp[live], np.minimum(k_eff + DK, kmax[live])).max())
-        # prefer the tier-1 level for tier 2: overflow halos regather at
-        # their tier-1 radius, and a coarser level would inflate their
-        # chunk-aligned footprints past K2; only go coarser when the grown
-        # ladder radius cannot fit in an s_max cube here
-        cs1 = float(np.asarray(grid.period, np.float32).min()) / grid.ncell(level)
-        span2 = int(2 * r2max / cs1) + 2
-        if span2 <= s_max:
-            level2, S2 = level, max(span2, S)
-        else:
-            level2, S2 = _pick_level_span(grid, max(r2max, float(radii.max())),
-                                          s_max)
-        for lo, part in _dispatch_chunks(live, K, slot_budget):
-            B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
-                                         radii[lo:lo + part.size])
-            kl_pad = np.zeros(B, np.int32)
-            kl_pad[:part.size] = kmax[part] - k_eff[lo:lo + part.size]
-            t0 = _pc()
-            if fused_stage_fn is not None:
-                packed = fused_stage_fn(
-                    level, K, S, level2, K2, S2, B2, n_members, DK,
-                    jnp.asarray(c_pad), jnp.asarray(r_pad),
-                    jnp.asarray(kl_pad), thr32)
+        k_eff_l = np.minimum(cur_k[live], kmax[live])
+        radii_l = ladder_radius(rgtp[live], k_eff_l)
+        for level, S, b in _level_groups(grid, radii_l, s_max):
+            sel = live[b]
+            k_eff = k_eff_l[b]
+            radii = radii_l[b]
+            rmax = float(radii.max())
+            r2max = float(ladder_radius(
+                rgtp[sel], np.minimum(k_eff + DK, kmax[sel])).max())
+            # prefer the tier-1 level for tier 2: overflow halos regather
+            # at their tier-1 radius, and a coarser level would inflate
+            # their chunk-aligned footprints past K2; only go coarser when
+            # the grown ladder radius cannot fit in an s_max cube here
+            cs1 = float(np.asarray(grid.period, np.float32).min()) \
+                / grid.ncell(level)
+            span2 = int(2 * r2max / cs1) + 2
+            if span2 <= s_max:
+                level2, S2 = level, max(span2, S)
             else:
-                packed = _solve_stage_fused(
-                    grid, level, K, S, level2, K2, S2, B2, n_members, DK,
-                    jnp.asarray(c_pad), jnp.asarray(r_pad),
-                    jnp.asarray(kl_pad), thr32)
-            arr = np.asarray(packed)
-            _dbg_stage("fused", t0, B=B, K=K, S=S, level=level, K2=K2,
-                       S2=S2, level2=level2, n=part.size)
-            ints1, flts1 = unpack_stage_out(arr[:part.size, :5])
-            p2 = arr[B:]
-            ids = p2[:, 5]
-            steps = p2[:, 6]
-            ok2 = (ids >= 0) & (ids < part.size)
-            ids_l = ids[ok2]
-            # -1 openness closes on the tier-1 counts for everyone BEFORE
-            # tier-2 rows are judged (the classic round order)
-            minus1_open[part[ints1[:, 0] >= n_members]] = False
-            mask1 = np.ones(part.size, bool)
-            mask1[ids_l] = False
-            apply_round(part[mask1], ints1[mask1], flts1[mask1],
-                        k_eff[lo:lo + part.size][mask1], K)
-            ints2, flts2 = unpack_stage_out(p2[ok2][:, :5])
-            apply_round(part[ids_l], ints2, flts2,
-                        k_eff[lo:lo + part.size][ids_l] + steps[ok2], K2)
+                level2 = int(_bucket_levels(
+                    grid, np.array([max(r2max, rmax)]), s_max)[0])
+                S2 = _span_at(grid, level2, max(r2max, rmax), s_max)
+            for lo, part in _dispatch_chunks(sel, K, slot_budget):
+                B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
+                                             radii[lo:lo + part.size])
+                kl_pad = np.zeros(B, np.int32)
+                kl_pad[:part.size] = kmax[part] - k_eff[lo:lo + part.size]
+                t0 = _pc()
+                if fused_stage_fn is not None:
+                    packed = fused_stage_fn(
+                        level, K, S, level2, K2, S2, B2, n_members, DK,
+                        jnp.asarray(c_pad), jnp.asarray(r_pad),
+                        jnp.asarray(kl_pad), thr32)
+                else:
+                    packed = _solve_stage_fused(
+                        grid, level, K, S, level2, K2, S2, B2, n_members,
+                        DK, jnp.asarray(c_pad), jnp.asarray(r_pad),
+                        jnp.asarray(kl_pad), thr32)
+                arr = np.asarray(packed)
+                _dbg_stage("fused", t0, B=B, K=K, S=S, level=level, K2=K2,
+                           S2=S2, level2=level2, n=part.size)
+                ints1, flts1 = unpack_stage_out(arr[:part.size, :5])
+                p2 = arr[B:]
+                ids = p2[:, 5]
+                steps = p2[:, 6]
+                ok2 = (ids >= 0) & (ids < part.size)
+                ids_l = ids[ok2]
+                # -1 openness closes on the tier-1 counts for everyone
+                # BEFORE tier-2 rows are judged (the classic round order)
+                minus1_open[part[ints1[:, 0] >= n_members]] = False
+                mask1 = np.ones(part.size, bool)
+                mask1[ids_l] = False
+                apply_round(part[mask1], ints1[mask1], flts1[mask1],
+                            k_eff[lo:lo + part.size][mask1], K)
+                ints2, flts2 = unpack_stage_out(p2[ok2][:, :5])
+                apply_round(part[ids_l], ints2, flts2,
+                            k_eff[lo:lo + part.size][ids_l] + steps[ok2],
+                            K2)
 
     guard = 0
     while not resolved.all():
@@ -741,21 +836,26 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             cur_cap[live] = cur_cap[live].max()
         caps = np.unique(cur_cap[live])
         for capacity in caps:
-            sel = live[cur_cap[live] == capacity]
+            sel0 = live[cur_cap[live] == capacity]
             K = int(min(capacity, _k_limit(grid, s_max)))
-            k_eff = np.minimum(cur_k[sel], kmax[sel])
-            radii = ladder_radius(rgtp[sel], k_eff)
-            level, S = _pick_level_span(grid, float(radii.max()), s_max)
-            for lo, part in _dispatch_chunks(sel, K, slot_budget):
-                B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
-                                             radii[lo:lo + part.size])
-                t0 = _pc()
-                packed = stage_fn(level, K, S, n_members,
-                                  jnp.asarray(c_pad), jnp.asarray(r_pad),
-                                  thr32)
-                ints, flts = unpack_stage_out(np.asarray(packed)[:part.size])
-                _dbg_stage("stage", t0, B=B, K=K, S=S, level=level,
-                           n=part.size, rmax=f"{float(r_pad.max()):.4g}")
-                apply_round(part, ints, flts, k_eff[lo:lo + part.size], K)
+            k_eff0 = np.minimum(cur_k[sel0], kmax[sel0])
+            radii0 = ladder_radius(rgtp[sel0], k_eff0)
+            for level, S, b in _level_groups(grid, radii0, s_max):
+                sel, k_eff, radii = sel0[b], k_eff0[b], radii0[b]
+                for lo, part in _dispatch_chunks(sel, K, slot_budget):
+                    B, c_pad, r_pad = _pad_chunk(
+                        part.size, K, centers[part],
+                        radii[lo:lo + part.size])
+                    t0 = _pc()
+                    packed = stage_fn(level, K, S, n_members,
+                                      jnp.asarray(c_pad),
+                                      jnp.asarray(r_pad), thr32)
+                    ints, flts = unpack_stage_out(
+                        np.asarray(packed)[:part.size])
+                    _dbg_stage("stage", t0, B=B, K=K, S=S, level=level,
+                               n=part.size,
+                               rmax=f"{float(r_pad.max()):.4g}")
+                    apply_round(part, ints, flts,
+                                k_eff[lo:lo + part.size], K)
     return SolveResult(code=code, mvir=mvir, rvir=rvir, j=jout, d2cut=d2cut,
                        vcm=vcm, kcap=kcap)

@@ -40,8 +40,11 @@ def init_distributed(coordinator_address: str | None = None,
 
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
-    if coordinator_address is None and num_processes is None \
-            and "JAX_NUM_PROCESSES" not in os.environ:
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
         return False          # single-process: nothing to initialize
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -161,6 +164,23 @@ def make_global_from_local(mesh, spec, local_block, global_shape, lo_row: int):
         arrays.append(jax.device_put(blk, d))
     return jax.make_array_from_single_device_arrays(tuple(global_shape),
                                                     sharding, arrays)
+
+
+def allgather_f64(a) -> np.ndarray:
+    """process_allgather that PRESERVES float64 bits.
+
+    jax.experimental.multihost_utils.process_allgather routes values
+    through jax arrays, which silently truncate float64 to float32 when
+    jax_enable_x64 is off (the default) — fatal for the f64 partial sums
+    the distributed stats/vcm reductions exchange. Viewing the buffer as
+    uint32 makes the transport bit-exact. Returns (P,) + a.shape float64.
+    """
+    from jax.experimental import multihost_utils
+
+    a = np.ascontiguousarray(a, np.float64)
+    raw = a.view(np.uint32)                      # (..., 2x last dim)
+    out = np.ascontiguousarray(multihost_utils.process_allgather(raw))
+    return out.view(np.float64).reshape((-1,) + a.shape)
 
 
 def fetch_sharded(arr) -> np.ndarray:

@@ -121,6 +121,74 @@ def test_two_process_distributed_solve(problem):
         gi += 1
 
 
+@pytest.mark.distributed
+def test_distributed_cli_matches_single_process(tmp_path):
+    """run_so_distributed end-to-end (VERDICT r2 item 1): a REAL 2-process
+    `so_tpu --distributed` CLI run — per-host segment reads, cross-process
+    sharded solve + fused members/derived, replicated conflict pass,
+    partial-merged vcm/stats — must write outputs byte-identical to the
+    single-process CLI (modulo the run-timestamp header line)."""
+    from fixtures import write_gtp
+
+    from so_tpu.cli import main
+
+    workdir = str(tmp_path)
+    rng = np.random.default_rng(61)
+    clumps = [
+        dict(center=(0.1, 0.0, -0.1), n=1100, rmax=0.06, mass_total=0.2),
+        dict(center=(-0.25, 0.3, 0.2), n=700, rmax=0.04, mass_total=0.08),
+        dict(center=(0.12, 0.02, -0.08), n=400, rmax=0.03,
+             mass_total=0.03),   # overlaps clump 0 -> conflict activity
+    ]
+    d = make_clumpy_box(rng, n_background=2500, clumps=clumps)
+    write_snapshot(f"{workdir}/snap.bin", d)
+    write_gtp(f"{workdir}/cat.gtp",
+              [c["center"] for c in clumps] + [(0.45, -0.4, 0.3)],
+              [0.05, 0.04, 0.03, 0.02], [0.2, 0.08, 0.03, 0.01])
+    extra = ["-grp", "-gtp", "-subsumed", "-ignored", "-dark"]
+
+    assert main(["-i", f"{workdir}/cat.gtp", "--tipsy",
+                 f"{workdir}/snap.bin", "-o", f"{workdir}/single"]
+                + extra) == 0
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("XLA_", "JAX_"))}
+    env["TF_CPP_MIN_LOG_LEVEL"] = "3"
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(HERE, "distributed_cli_worker.py"),
+             str(port), str(pid), "2", "4", workdir] + extra,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"DISTRIBUTED_CLI_OK pid={pid}" in out
+
+    for ext in ("sovcirc", "sogrp", "sosub", "soign", "sodark"):
+        a = [l for l in open(f"{workdir}/single.{ext}", "rb").read()
+             .splitlines() if not (l.startswith(b"# Run on")
+                                   or b"written to" in l)]
+        b = [l for l in open(f"{workdir}/dist.{ext}", "rb").read()
+             .splitlines() if not (l.startswith(b"# Run on")
+                                   or b"written to" in l)]
+        assert a == b, ext
+    assert open(f"{workdir}/single.sogtp", "rb").read() == \
+        open(f"{workdir}/dist.sogtp", "rb").read()
+
+
 def test_segment_grid_matches_inprocess_sharded():
     """Single-process sanity: build_sharded_grid_segment(start=0, full
     snapshot) over an in-process mesh == build_sharded_grid exactly."""

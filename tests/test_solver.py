@@ -232,6 +232,44 @@ def _survey_problem(seed=55):
     return grid, centers, rgtp
 
 
+def test_level_bucketing_matches_single_level(monkeypatch):
+    """Per-halo level bucketing (solver._bucket_levels / _level_groups) is
+    a pure perf optimization: results must equal the legacy single-level
+    dispatch bit-for-bit (the hit set is level-independent). BUCKET_MIN is
+    patched so the tiny catalog actually splits into level groups."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_clumpy_box
+
+    from so_tpu.engine import solver
+    from so_tpu.ops import build_grid
+
+    rng = np.random.default_rng(77)
+    d = make_clumpy_box(rng, n_background=6000, clumps=[
+        dict(center=(0.2, 0.2, 0.2), n=2000, rmax=0.06, mass_total=0.25)])
+    # the cost model's run-slack term needs the slab payload (chunk > 0);
+    # on CPU the kernel runs in interpret mode
+    grid = build_grid(d["pos"], d["mass"], m=3, pallas=True)
+    centers = np.array([
+        (0.2, 0.2, 0.2), (-0.4, -0.4, -0.4), (-0.35, 0.4, -0.4),
+        (0.21, 0.19, 0.2), (0.4, -0.4, 0.4),
+    ], np.float32)
+    # spread of radii so the cost model actually assigns different levels
+    rgtp = np.array([0.05, 0.004, 0.12, 0.03, 0.08], np.float32)
+    want = solver.solve_rvir(grid, centers, rgtp, 178.0, survey=False)
+    monkeypatch.setattr(solver, "BUCKET_MIN", 1)
+    lv = solver._bucket_levels(grid, rgtp * np.float32(1.2), 7)
+    assert np.unique(lv).size >= 2, lv   # the catalog genuinely buckets
+    got = solver.solve_rvir(grid, centers, rgtp, 178.0, survey=False)
+    np.testing.assert_array_equal(got.code, want.code)
+    np.testing.assert_array_equal(got.mvir, want.mvir)
+    np.testing.assert_array_equal(got.rvir, want.rvir)
+    np.testing.assert_array_equal(got.j, want.j)
+    np.testing.assert_array_equal(got.d2cut, want.d2cut)
+
+
 def test_survey_auto_gate_matches_forced(monkeypatch):
     """survey=None (auto) samples a first chunk and must produce the same
     results whether the gate opens (survey-heavy catalog) or stays closed

@@ -84,12 +84,21 @@ def main():
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts[1:]))
 
-    t0 = time.perf_counter()
-    grid = build_grid(pos, mass, vel=vel)
-    sync(grid.mass)
-    if grid.soa8t is not None:
-        sync(grid.soa8t)
-    build_s = time.perf_counter() - t0
+    def timed_build():
+        t0 = time.perf_counter()
+        g = build_grid(pos, mass, vel=vel)
+        sync(g.mass)
+        if g.soa8t is not None:
+            sync(g.soa8t)
+        return g, time.perf_counter() - t0
+
+    # cold build includes the tunnel's first-touch large-transfer setup
+    # (~8-10 s, session-dependent) and any uncached compiles; the warm
+    # rebuild is the steady-state cost real runs approach
+    # (experiments/grid_build_probe.py: warm = upload 1.6 s + Morton/CSR
+    # 0.5 s + payload pack 0.03 s at 2M particles)
+    grid, build_cold_s = timed_build()
+    grid, build_s = timed_build()
 
     thr = 178.0
     survey = os.environ.get("SO_BENCH_SURVEY") == "1"
@@ -120,7 +129,8 @@ def main():
     rate = n_halos / solve_s
     print(f"# particles={pos.shape[0]} halos={n_halos} ok={ok} "
           f"codes={np.bincount(-res.code[res.code<=0], minlength=4).tolist()} "
-          f"gen={gen_s:.1f}s grid={build_s:.1f}s warm={warm_s:.1f}s "
+          f"gen={gen_s:.1f}s grid={build_s:.1f}s (cold {build_cold_s:.1f}s) "
+          f"warm={warm_s:.1f}s "
           f"solve={solve_s:.3f}s (reps: "
           f"{', '.join(f'{r:.3f}' for r in reps)}) "
           f"rtt={rtt * 1e3:.1f}ms dispatches={disp[-1]} "

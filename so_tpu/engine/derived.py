@@ -160,8 +160,8 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
     contract as _derived_stage — the multi-device path
     (parallel.mesh.sharded_derived_fn) injects its shard_map stage here.
     """
-    from .solver import (_chunk_for, _k_limit, _pad_b, _pick_level_span, _pad_to_bucket,
-                         _stage_grid)
+    from .solver import (_chunk_for, _k_limit, _level_groups, _pad_b,
+                         _pad_to_bucket, _pick_level_span, _stage_grid)
 
     G = centers.shape[0]
     out = DerivedResult(
@@ -194,12 +194,13 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
             raise RuntimeError("derived-quantity escalation runaway")
         next_todo = []
         for capacity in np.unique(need_cap[todo]):
-            sel = todo[need_cap[todo] == capacity]
+            sel0 = todo[need_cap[todo] == capacity]
             K = int(min(capacity, _k_limit(grid, s_max)))
-            cover = (2.0 * rvir[sel]).astype(np.float32)
-            level, S = _pick_level_span(grid, float(cover.max()), s_max)
             chunk = _chunk_for(K, slot_budget)
-            for lo in range(0, sel.size, chunk):
+            for level, S, bidx in _level_groups(
+                    grid, (2.0 * rvir[sel0]).astype(np.float32), s_max):
+              sel = sel0[bidx]
+              for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_b(part.size, K)
                 c_pad = np.zeros((B, 3), np.float32)

@@ -123,7 +123,8 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
     merges them across processes); default: members.vcm_from_members over
     ``host_mv``.
     """
-    from .solver import _chunk_for, _k_limit, _pad_b, _pick_level_span, _stage_grid
+    from .solver import (_chunk_for, _k_limit, _level_groups, _pad_b,
+                         _pick_level_span, _stage_grid)
 
     G = centers.shape[0]
     vcm = np.zeros((G, 3), np.float32)
@@ -182,12 +183,13 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
         # tiers are round-trip-bound, ~100 ms each mostly wait)
         pending = []
         for capacity in np.unique(need_cap[todo]):
-            sel = todo[need_cap[todo] == capacity]
+            sel0 = todo[need_cap[todo] == capacity]
             K = int(min(capacity, max(512, _k_limit(grid, s_max))))
-            level, S = _pick_level_span(grid, 2.0 * float(rvir[sel].max()),
-                                        s_max)
             chunk = _chunk_for(K, slot_budget)
-            for lo in range(0, sel.size, chunk):
+            for level, S, bidx in _level_groups(grid, 2.0 * rvir[sel0],
+                                                s_max, K):
+              sel = sel0[bidx]
+              for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_b(part.size, K)
                 c_pad = np.zeros((B, 3), np.float32)

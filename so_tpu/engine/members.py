@@ -149,8 +149,8 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     (parallel.mesh.extract_members_sharded) injects its shard_map stage
     here and reuses this escalation driver unchanged.
     """
-    from .solver import (_chunk_for, _k_limit, _pad_b, _pick_level_span, _pad_to_bucket,
-                         _stage_grid)
+    from .solver import (_chunk_for, _k_limit, _level_groups, _pad_b,
+                         _pad_to_bucket, _pick_level_span, _stage_grid)
 
     use_host_vcm = host_mv is not None and stage_fn is None
     if stage_fn is None:
@@ -204,11 +204,12 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
             raise RuntimeError("member extraction runaway")
         next_todo = []
         for capacity in np.unique(need_cap[todo]):
-            sel = todo[need_cap[todo] == capacity]
+            sel0 = todo[need_cap[todo] == capacity]
             K = int(min(capacity, max(512, _k_limit(grid, s_max))))
-            level, S = _pick_level_span(grid, float(cover[sel].max()), s_max)
             chunk = _chunk_for(K, slot_budget)
-            for lo in range(0, sel.size, chunk):
+            for level, S, bidx in _level_groups(grid, cover[sel0], s_max, K):
+              sel = sel0[bidx]
+              for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_b(part.size, K)
                 c_pad = np.zeros((B, 3), np.float32)

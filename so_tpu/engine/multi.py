@@ -172,13 +172,15 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
         if guard > 1 and live.size:
             cur_cap[live] = cur_cap[live].max()
         for capacity in np.unique(cur_cap[live]):
-            sel = live[cur_cap[live] == capacity]
+            sel0 = live[cur_cap[live] == capacity]
             K = int(min(capacity, _k_limit(grid, s_max)))
-            k_eff = np.minimum(cur_k[sel], kmax[sel])
-            radii = ladder_radius(rgtp[sel], k_eff)
-            level, S = _pick_level_span(grid, float(radii.max()), s_max)
+            k_eff0 = np.minimum(cur_k[sel0], kmax[sel0])
+            radii0 = ladder_radius(rgtp[sel0], k_eff0)
             chunk = _chunk_for(K, slot_budget)
-            for lo in range(0, sel.size, chunk):
+            for level, S, bidx in _solver._level_groups(grid, radii0,
+                                                        s_max, K):
+              sel, k_eff_b, radii = sel0[bidx], k_eff0[bidx], radii0[bidx]
+              for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
                 B = _pad_b(part.size, K)
                 c_pad = np.zeros((B, 3), np.float32)

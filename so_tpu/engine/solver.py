@@ -371,12 +371,14 @@ SURVEY_FRAC = 0.25
 BUCKET_MIN = 2048
 
 
-def _level_groups(grid, radii: np.ndarray, s_max: int):
+def _level_groups(grid, radii: np.ndarray, s_max: int, K: int,
+                  lam: float = 1.0):
     """[(level, S, member-positions)] for one dispatch round: per-halo
-    footprint-minimizing levels when the round is big enough to amortize
-    extra dispatches, else the single legacy level."""
+    trap-avoiding levels (_bucket_levels) when the round is big enough to
+    amortize extra dispatches, else the single legacy level. ``lam`` is
+    the measured local-density correction (_calibrate_lambda)."""
     if radii.size >= BUCKET_MIN:
-        lv = _bucket_levels(grid, radii, s_max)
+        lv = _bucket_levels(grid, radii, s_max, K, lam)
         out = []
         for g in np.unique(lv):
             b = np.nonzero(lv == g)[0]
@@ -450,43 +452,134 @@ def _span_at(grid, g: int, rmax: float, s_max: int) -> int:
     return max(min(int(2 * rmax / cs) + 2, s_max, grid.ncell(g)), 1)
 
 
-def _bucket_levels(grid, radii: np.ndarray, s_max: int) -> np.ndarray:
-    """Per-halo footprint-minimizing grid level (the dense-box fix).
+# expected cell-enumeration cost per candidate cell, in slot-equivalents
+# (measured anatomy: ~12 ms enum at S^3=27 cells vs ~50 ms sort+DMA at
+# K=4096 slots for a 16k-halo dispatch -> ~36 slots per cell)
+_CELL_COST_SLOTS = 36.0
 
-    Cost model per level g: expected candidate rows — mean cell occupancy
-    x mean intersected cells (1 + 2r/cs)^3 — plus the slab path's
-    CHUNK-aligned run slack (~(1 + cells/3) merged runs; calibrated
-    against exact cell_ranges totals in experiments/level_cost_probe.py).
 
-    The old rule picked ONE level per dispatch with a hard occupancy
-    floor (3/4*chunk), which on dense boxes forced every small halo into
-    the coarse level's 8k+ slot footprints and thus the K=16384 sort tier
-    — 8.3k solves/s on the 34M/1e6 box (docs/RESULTS.md round 2).
-    Minimizing the expected footprint per halo lets small halos solve in
-    small sort tiers (the sort is superlinear in K). A 15% hysteresis
-    prefers the coarsest near-optimal level (fuller DMA chunks, fewer
-    dispatch groups). Exactness is level-independent: every level yields
-    the same hit set (the acceptance test is d2 <= r2, not cell
-    membership).
-    """
-    radii = np.maximum(np.asarray(radii, np.float64), 1e-30)
+@partial(jax.jit, static_argnames=("level", "S"))
+def _foot_stage(grid: CellGrid, level: int, S: int, centers, radii):
+    """Exact per-halo slab-slot footprints (cell_ranges totals) — a tiny
+    enumeration-only dispatch used to CALIBRATE the level cost model: the
+    mean-occupancy estimate underpredicts footprints near clumps (halos
+    sit in overdensities; measured ~6x on the dense 8.4M box), which made
+    the trap detection miss exactly where it matters."""
+    from ..ops.gather import cell_ranges
+
+    _, _, _, total = cell_ranges(grid, level, centers, radii,
+                                 radii * radii, S,
+                                 align=getattr(grid, "chunk", 1)
+                                 if getattr(grid, "soa8t", None) is not None
+                                 else 1)
+    return total
+
+
+def _est_span(grid, radii: np.ndarray, g: int, s_max: int):
+    """(ok, dens, slack, span) of the footprint model at level g:
+    candidate rows from mean occupancy (dens — the local-density-scalable
+    part) and CHUNK-alignment run slack (slack — geometry-bound)."""
     n_occ = getattr(grid, "n_occ", grid.n)
     chunk = getattr(grid, "chunk", 256) \
         if getattr(grid, "soa8t", None) is not None else 0
     period = float(np.asarray(grid.period, np.float32).min())
+    ncg = grid.ncell(g)
+    cs = period / ncg
+    need = (2.0 * radii / cs).astype(np.int64) + 2
+    ok = (need <= s_max) | (ncg <= s_max)      # ncg <= s_max: whole box
+    ecells = (1.0 + 2.0 * radii / cs) ** 3
+    dens = (n_occ / ncg ** 3) * ecells
+    slack = (1.0 + ecells / 3.0) * chunk
+    span = np.minimum(need, min(s_max, ncg))
+    return ok, dens, slack, span
+
+
+def _calibrate_lambda(grid, centers: np.ndarray, radii: np.ndarray,
+                      s_max: int) -> float:
+    """Density-correction factor for the footprint model: exact footprints
+    (one tiny _foot_stage dispatch over a strided halo sample) over the
+    mean-occupancy estimate, 75th percentile, clipped to [1, 64]."""
+    n = radii.size
+    step = max(1, n // 1024)
+    idx = np.arange(0, n, step)[:1024]
+    rs = np.asarray(radii, np.float64)[idx]
+    g = _pick_level(grid, float(rs.max()), s_max)
+    ok, dens, slack, _ = _est_span(grid, rs, g, s_max)
+    if not ok.any():
+        return 1.0
+    S = _span_at(grid, g, float(rs[ok].max()), s_max)
+    c_pad = np.asarray(centers, np.float32)[idx[ok]]
+    r_pad = np.asarray(radii, np.float32)[idx[ok]]
+    t0 = _pc()
+    total = np.asarray(_foot_stage(grid, g, S, jnp.asarray(c_pad),
+                                   jnp.asarray(r_pad)))
+    _dbg_stage("foot-probe", t0, level=g, S=S, n=int(ok.sum()))
+    lam = (total.astype(np.float64) - slack[ok]) / np.maximum(dens[ok], 1.0)
+    return float(np.clip(np.percentile(lam, 75.0), 1.0, 64.0))
+
+
+def _bucket_levels(grid, radii: np.ndarray, s_max: int,
+                   K: int, lam: float = 1.0) -> np.ndarray:
+    """Per-halo grid level: the legacy occupancy-floor level unless that
+    level's expected slot footprint overflows the capacity tier K — the
+    dense-box trap, where one coarse level forced every small halo's
+    footprint past K and the whole batch escalated into the superlinear
+    K=16384 sort tier (8.3k solves/s on the 34M/1e6 box, docs/RESULTS.md
+    round 2). Trapped halos move to the cheapest FINER level whose
+    estimated footprint fits 3/4*K, costed as
+        est_foot (mean occupancy x intersected cells + CHUNK-aligned run
+        slack; calibrated in experiments/level_cost_probe.py)
+        + _CELL_COST_SLOTS * span^3 (cell-enumeration work).
+    Untrapped halos keep the measured-and-tuned legacy level, so sparse
+    boxes are bit-and-perf-identical to the single-level dispatch.
+    Exactness is level-independent: every level yields the same hit set
+    (the acceptance test is d2 <= r2, not cell membership).
+    """
+    radii = np.maximum(np.asarray(radii, np.float64), 1e-30)
+    n = radii.size
+    n_occ = getattr(grid, "n_occ", grid.n)
+    chunk = getattr(grid, "chunk", 256) \
+        if getattr(grid, "soa8t", None) is not None else 0
+    min_occ = (3 * chunk) // 4
     L = grid.m + 1
-    costs = np.full((L, radii.size), np.inf)
+
+    ok = np.zeros((L, n), bool)
+    est = np.full((L, n), np.inf)
+    score = np.full((L, n), np.inf)
+    occ_ok = np.zeros(L, bool)
     for g in range(L):
-        ncg = grid.ncell(g)
-        cs = period / ncg
-        need = (2.0 * radii / cs).astype(np.int64) + 2
-        ok = (need <= s_max) | (ncg <= s_max)   # ncg <= s_max: whole box
-        ecells = (1.0 + 2.0 * radii / cs) ** 3
-        cost = (n_occ / ncg ** 3) * ecells + (1.0 + ecells / 3.0) * chunk
-        costs[g, ok] = cost[ok]
-    cmin = costs.min(axis=0)
-    good = costs <= cmin[None, :] * 1.15
-    return ((L - 1) - np.argmax(good[::-1], axis=0)).astype(np.int32)
+        ok_g, dens, slack, span = _est_span(grid, radii, g, s_max)
+        # lam: measured local-density correction (_calibrate_lambda) —
+        # halos live in overdensities, so the mean-occupancy term is
+        # scaled while the alignment-slack term is geometry-bound
+        e = lam * dens + slack
+        ok[g] = ok_g
+        occ_ok[g] = (n_occ / grid.ncell(g) ** 3) >= min_occ
+        est[g, ok_g] = e[ok_g]
+        score[g] = est[g] + _CELL_COST_SLOTS * span.astype(np.float64) ** 3
+
+    # legacy level: finest g with span fit and the occupancy floor
+    legal = ok & occ_ok[:, None]
+    legal[L - 1] = True                      # whole-box fallback
+    legacy = np.argmax(legal, axis=0).astype(np.int32)
+    rows = np.arange(n)
+    trapped = est[legacy, rows] > K
+    if not trapped.any():
+        return legacy
+
+    fits = ok & (est <= 0.75 * K)            # margin absorbs est error
+    cand = np.where(fits, score, np.inf)
+    best = np.argmin(cand, axis=0).astype(np.int32)
+    has_fit = np.isfinite(cand[best, rows])
+    move = trapped & has_fit
+    # a non-legacy bucket costs one extra dispatch round-trip; unless a
+    # meaningful population escapes the trap, the legacy escalation
+    # (fused tier 2) handles the few big halos more cheaply
+    if move.sum() < BUCKET_MIN // 2:
+        return legacy
+    out = legacy.copy()
+    out[move] = best[move]
+    return out
 
 
 def _pad_to_bucket(n: int, buckets=(256, 1024, 4096)) -> int:
@@ -628,6 +721,28 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     #                                       round costs a full dispatch)
     k_cap_max = max(2 * _k_limit(grid, s_max), k0_cap)
 
+    # local-density calibration for the level cost model: one tiny
+    # enumeration-only dispatch over a halo sample (needs direct grid
+    # access and a batch big enough for bucketing to be in play). Cached
+    # per grid object — the density field is a property of the snapshot,
+    # and the probe round-trip (~30 ms over the tunnel) should not be
+    # paid on every solve over the same grid
+    lam = getattr(grid, "_lam_cache", None)
+    if lam is None and default_stage and has_slab and G >= BUCKET_MIN \
+            and not resolved.all():
+        live0 = np.nonzero(~resolved)[0]
+        if live0.size >= BUCKET_MIN:
+            lam = _calibrate_lambda(
+                grid, centers[live0],
+                ladder_radius(rgtp[live0],
+                              np.minimum(cur_k[live0], kmax[live0])),
+                s_max)
+            try:
+                grid._lam_cache = lam
+            except AttributeError:
+                pass
+    lam = 1.0 if lam is None else lam
+
     def apply_round(part, ints, flts, k_now, cap_now):
         """One round of the reference's regrow decisions (kd2.c:745-839)
         for a batch of halos, given their stage outputs. Mutates the
@@ -741,7 +856,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 total = 0
                 if idx_arr.size == 0:
                     return total
-                for level, S, b in _level_groups(grid, rads, s_max):
+                for level, S, b in _level_groups(grid, rads, s_max, K, lam):
                     sel_g, rad_g = idx_arr[b], rads[b]
                     for lo, part in _dispatch_chunks(sel_g, K, slot_budget):
                         total += classify(part, rad_g[lo:lo + part.size],
@@ -767,7 +882,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         #                 spill into the classic escalation rounds
         k_eff_l = np.minimum(cur_k[live], kmax[live])
         radii_l = ladder_radius(rgtp[live], k_eff_l)
-        for level, S, b in _level_groups(grid, radii_l, s_max):
+        for level, S, b in _level_groups(grid, radii_l, s_max, K, lam):
             sel = live[b]
             k_eff = k_eff_l[b]
             radii = radii_l[b]
@@ -781,17 +896,28 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             cs1 = float(np.asarray(grid.period, np.float32).min()) \
                 / grid.ncell(level)
             span2 = int(2 * r2max / cs1) + 2
+            kl_zero = False
             if span2 <= s_max:
                 level2, S2 = level, max(span2, S)
             else:
-                level2 = int(_bucket_levels(
-                    grid, np.array([max(r2max, rmax)]), s_max)[0])
-                S2 = _span_at(grid, level2, max(r2max, rmax), s_max)
+                # the DK-grown ladder radii cannot fit an s_max cube at
+                # the tier-1 level. A coarser shared level2 once inflated
+                # the OVERFLOW population's chunk-aligned footprints past
+                # K2 (dense 8.4M box: 161 giant halos overflowed into a
+                # 1.1 s K=131072 XLA tail although they fit K2 at the
+                # tier-1 level) — so keep tier 2 at the tier-1 level for
+                # the overflow re-gathers (same radii: S suffices) and
+                # route the ladder-growers to the classic rounds
+                # (kleft=0 removes them from tier-2 eligibility)
+                level2, S2 = level, S
+                kl_zero = True
             for lo, part in _dispatch_chunks(sel, K, slot_budget):
                 B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
                                              radii[lo:lo + part.size])
                 kl_pad = np.zeros(B, np.int32)
-                kl_pad[:part.size] = kmax[part] - k_eff[lo:lo + part.size]
+                if not kl_zero:
+                    kl_pad[:part.size] = kmax[part] \
+                        - k_eff[lo:lo + part.size]
                 t0 = _pc()
                 if fused_stage_fn is not None:
                     packed = fused_stage_fn(
@@ -840,7 +966,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             K = int(min(capacity, _k_limit(grid, s_max)))
             k_eff0 = np.minimum(cur_k[sel0], kmax[sel0])
             radii0 = ladder_radius(rgtp[sel0], k_eff0)
-            for level, S, b in _level_groups(grid, radii0, s_max):
+            for level, S, b in _level_groups(grid, radii0, s_max, K, lam):
                 sel, k_eff, radii = sel0[b], k_eff0[b], radii0[b]
                 for lo, part in _dispatch_chunks(sel, K, slot_budget):
                     B, c_pad, r_pad = _pad_chunk(

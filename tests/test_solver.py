@@ -256,11 +256,16 @@ def test_level_bucketing_matches_single_level(monkeypatch):
         (0.2, 0.2, 0.2), (-0.4, -0.4, -0.4), (-0.35, 0.4, -0.4),
         (0.21, 0.19, 0.2), (0.4, -0.4, 0.4),
     ], np.float32)
-    # spread of radii so the cost model actually assigns different levels
+    # spread of radii + a forced density correction so the trap model
+    # genuinely assigns different levels (small halos escape the legacy
+    # level's inflated footprint; big ones have no fitting finer level)
     rgtp = np.array([0.05, 0.004, 0.12, 0.03, 0.08], np.float32)
     want = solver.solve_rvir(grid, centers, rgtp, 178.0, survey=False)
     monkeypatch.setattr(solver, "BUCKET_MIN", 1)
-    lv = solver._bucket_levels(grid, rgtp * np.float32(1.2), 7)
+    monkeypatch.setattr(solver, "_calibrate_lambda",
+                        lambda *a, **k: 64.0)
+    lv = solver._bucket_levels(grid, rgtp * np.float32(1.2), 7, 4096,
+                               lam=64.0)
     assert np.unique(lv).size >= 2, lv   # the catalog genuinely buckets
     got = solver.solve_rvir(grid, centers, rgtp, 178.0, survey=False)
     np.testing.assert_array_equal(got.code, want.code)
@@ -268,6 +273,34 @@ def test_level_bucketing_matches_single_level(monkeypatch):
     np.testing.assert_array_equal(got.rvir, want.rvir)
     np.testing.assert_array_equal(got.j, want.j)
     np.testing.assert_array_equal(got.d2cut, want.d2cut)
+
+
+def test_bucket_levels_dense_box_model():
+    """The level cost model on a synthetic dense-box proxy (34M particles,
+    m=6, chunk=128 — the 1e6-halo box of docs/RESULTS.md): with the
+    measured-density correction, small halos must escape the legacy
+    level's trapped footprint to a finer level while staying put when the
+    model says the legacy level fits (lam=1)."""
+    from so_tpu.engine.solver import _bucket_levels
+
+    class Proxy:
+        m = 7                     # choose_m(34e6)
+        n = 34_000_000
+        n_occ = n
+        chunk = 128
+        soa8t = object()          # only `is not None` is consulted
+        period = np.ones(3, np.float32)
+
+        def ncell(self, g):
+            return 1 << (7 - g)
+
+    radii = np.full(4096, 0.006, np.float64)
+    # uncorrected mean-occupancy model underestimates near clumps: no trap
+    lv1 = _bucket_levels(Proxy(), radii, 7, 4096, lam=1.0)
+    # with the measured ~6x local-density correction the legacy level's
+    # footprint overflows K and the batch moves to a finer level
+    lv6 = _bucket_levels(Proxy(), radii, 7, 4096, lam=6.0)
+    assert (lv6 < lv1).all(), (np.unique(lv1), np.unique(lv6))
 
 
 def test_survey_auto_gate_matches_forced(monkeypatch):

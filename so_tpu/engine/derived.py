@@ -198,7 +198,7 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
             K = int(min(capacity, _k_limit(grid, s_max)))
             chunk = _chunk_for(K, slot_budget)
             for level, S, bidx in _level_groups(
-                    grid, (2.0 * rvir[sel0]).astype(np.float32), s_max):
+                    grid, (2.0 * rvir[sel0]).astype(np.float32), s_max, K):
               sel = sel0[bidx]
               for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]

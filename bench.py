@@ -87,9 +87,9 @@ def main():
     def timed_build():
         t0 = time.perf_counter()
         g = build_grid(pos, mass, vel=vel)
-        sync(g.mass)
-        if g.soa8t is not None:
-            sync(g.soa8t)
+        # deduplicated grids keep only the payload (+ orig_idx)
+        sync(g.soa8t if g.soa8t is not None else g.mass)
+        sync(g.orig_idx)
         return g, time.perf_counter() - t0
 
     # cold build includes the tunnel's first-touch large-transfer setup

@@ -132,9 +132,9 @@ def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
         slot0 = jnp.arange(K, dtype=jnp.int32)[None, :]
         valid = slot0 < g.n_in[:, None]
         d2_s = g.d2
-        mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
-        ptype_s = grid.ptype[g.idx]
-        mark_s = grid.mark[g.idx] & valid
+        mass_s = jnp.where(valid, grid.mass_a()[g.idx], 0.0)
+        ptype_s = grid.ptype_a()[g.idx]
+        mark_s = grid.mark_a()[g.idx] & valid
         n_in, overflow = g.n_in, g.overflow
     out = derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir,
                               mvir, fball, n_members, species, grav)

@@ -69,9 +69,9 @@ def _fused_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
                                sort=True)
         valid = slot < g.n_in[:, None]
         d2_s = g.d2
-        mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
-        ptype_s = grid.ptype[g.idx]
-        mark_s = grid.mark[g.idx] & valid
+        mass_s = jnp.where(valid, grid.mass_a()[g.idx], 0.0)
+        ptype_s = grid.ptype_a()[g.idx]
+        mark_s = grid.mark_a()[g.idx] & valid
         srow = jnp.where(valid, g.idx, -1)
         n_in, overflow = g.n_in, g.overflow
 

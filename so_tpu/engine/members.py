@@ -110,8 +110,8 @@ def _members_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
         valid = jnp.isfinite(g.d2)
         srow = jnp.where(valid & interior, g.idx, -1)
         if with_mv:
-            w = jnp.where(valid & interior, grid.mass[g.idx], 0.0)
-            vcm = (w[:, :, None] * grid.vel[g.idx]).sum(axis=1) \
+            w = jnp.where(valid & interior, grid.mass_a()[g.idx], 0.0)
+            vcm = (w[:, :, None] * grid.vel_a()[g.idx]).sum(axis=1) \
                 / mvir[:, None]
         else:
             vcm = jnp.zeros((centers.shape[0], 3), jnp.float32)

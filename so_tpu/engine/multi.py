@@ -51,7 +51,7 @@ def _multi_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
         g = ragged_ball_gather(grid, level, centers, radii, radii * radii,
                                K, S, sort=True)
         slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-        mass_s = jnp.where(slot < g.n_in[:, None], grid.mass[g.idx], 0.0)
+        mass_s = jnp.where(slot < g.n_in[:, None], grid.mass_a()[g.idx], 0.0)
         d2_s, n_in, ovf = g.d2, g.n_in, g.overflow
 
     outs = [scan_sorted(d2_s, mass_s, None, n_in, thresholds[t], n_members)

@@ -90,7 +90,8 @@ def run_so(particles: ParticleSet, catalog: GroupCatalog, params: SOParams,
                 # drain the async build before the phase ends so the solve
                 # phase is not charged for it in the timing report
                 import jax
-                jax.block_until_ready(grid.pos)
+                jax.block_until_ready(grid.soa8t if grid.soa8t is not None
+                                      else grid.pos)
 
         centers = np.asarray(catalog.pos, np.float32).copy()
         rgtp = np.asarray(catalog.rgtp, np.float32)

@@ -43,10 +43,10 @@ def _recenter_stage(grid: CellGrid, level: int, K: int, S: int, centers, radii):
     g = ragged_ball_gather(grid, level, centers, radii, radii * radii, K, S,
                            sort=False)
     slot_valid = jnp.isfinite(g.d2)
-    phi = jnp.where(slot_valid, grid.phi[g.idx], jnp.inf)
+    phi = jnp.where(slot_valid, grid.phi_a()[g.idx], jnp.inf)
     amin = jnp.argmin(phi, axis=1)
     rows = jnp.arange(centers.shape[0])
-    best = grid.pos[g.idx[rows, amin]]
+    best = grid.pos_a()[g.idx[rows, amin]]
     new_centers = jnp.where((g.n_in > 0)[:, None], best, centers)
     return new_centers, g.n_in, g.overflow
 
@@ -72,19 +72,23 @@ def _recenter_stage_slab(grid: CellGrid, phi_soa, level: int, K: int, S: int,
     rows = jnp.arange(centers.shape[0])
     amin = jnp.argmin(phi, axis=1)
     row = decode_idx(out[:, 2][rows, amin], out[:, 3][rows, amin])
-    best = grid.pos[jnp.clip(row, 0, grid.n - 1)]
+    best = grid.pos_a()[jnp.clip(row, 0, grid.n - 1)]
     new_centers = jnp.where((n_in > 0)[:, None], best, centers)
     return new_centers, n_in, total > K
 
 
 def _phi_payload(grid: CellGrid):
     """Recenter-specific SoA: the payload layout of pack_soa8t with phi in
-    the mass row (the kernel's "mass" channel then carries phi)."""
+    the mass row (the kernel's "mass" channel then carries phi). On a
+    deduplicated grid this is one .at[].set on the existing payload — the
+    kernel never reads the velocity/meta rows for the recenter channel set."""
+    if grid.soa8t is not None:
+        return grid.soa8t.at[3, :grid.n].set(grid.phi_a())
     from ..ops.pallas_gather import pack_soa8t
 
     n = grid.n
     return jax.jit(pack_soa8t, static_argnames=("chunk",))(
-        grid.pos, grid.phi, jnp.zeros((n, 3), jnp.float32), grid.ptype,
+        grid.pos, grid.phi_a(), jnp.zeros((n, 3), jnp.float32), grid.ptype,
         grid.mark, chunk=grid.chunk)
 
 

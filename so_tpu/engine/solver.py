@@ -268,7 +268,7 @@ def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
                                K, S, sort=False)
         ok = jnp.isfinite(g.d2)
         d2 = jnp.where(ok, g.d2, jnp.inf)
-        mass = jnp.where(ok, grid.mass[g.idx], 0.0)
+        mass = jnp.where(ok, grid.mass_a()[g.idx], 0.0)
         overflow = g.overflow
     n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
 
@@ -326,7 +326,7 @@ def _solve_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
                                K, S, sort=True)
         slot = jnp.arange(K, dtype=jnp.int32)[None, :]
         valid = slot < g.n_in[:, None]
-        mass_s = jnp.where(valid, grid.mass[g.idx], 0.0)
+        mass_s = jnp.where(valid, grid.mass_a()[g.idx], 0.0)
         out = scan_sorted(g.d2, mass_s, None, g.n_in, thr, n_members)
     out.update(n_in=g.n_in, overflow=g.overflow)
     return pack_stage_out(out)
@@ -391,10 +391,23 @@ def _level_groups(grid, radii: np.ndarray, s_max: int, K: int,
 
 
 def _stage_grid(grid, K: int):
-    """strip the Pallas payload for giant-K tiers."""
+    """Strip the Pallas payload for giant-K tiers (slab VMEM window).
+
+    On a deduplicated grid (build_grid dropped the per-particle arrays in
+    favor of the payload) the XLA fallback's arrays are first materialized
+    from the payload slices — a transient ~33 B/particle spike, cached on
+    the grid object so repeated giant-tier dispatches reuse it."""
     if K > K_SLAB_MAX and getattr(grid, 'soa8t', None) is not None:
         import dataclasses
-        return dataclasses.replace(grid, soa8t=None)
+        if getattr(grid, "pos", None) is not None:
+            return dataclasses.replace(grid, soa8t=None)
+        fb = getattr(grid, "_xla_fallback", None)
+        if fb is None:
+            fb = dataclasses.replace(
+                grid, soa8t=None, pos=grid.pos_a(), mass=grid.mass_a(),
+                vel=grid.vel_a(), ptype=grid.ptype_a(), mark=grid.mark_a())
+            grid._xla_fallback = fb
+        return fb
     return grid
 
 

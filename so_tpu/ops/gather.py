@@ -175,7 +175,7 @@ def ragged_ball_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
     slot_ok = jnp.arange(K, dtype=jnp.int32)[None, :] < jnp.minimum(total, K)[:, None]
     gidx = jnp.clip(gidx, 0, n - 1)
 
-    p = grid.pos[gidx]                                  # (B,K,3)
+    p = grid.pos_a()[gidx]                              # (B,K,3)
     d = min_image(centers[:, None, :], p, grid.period[None, None, :])
     d2 = d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1] + d[..., 2] * d[..., 2]
     valid = slot_ok & (d2 <= r2_mask[:, None])

@@ -20,6 +20,7 @@ Everything is fixed-shape and batched: the host only chooses capacity tiers.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -53,16 +54,26 @@ class CellGrid:
     *original* coordinates (distances use min-image arithmetic directly,
     matching the reference's shifted-center scheme, kd2.h:154-253); wrapped
     coordinates are used only to assign cells.
+
+    HBM budget: when the Pallas payload ``soa8t`` is built, the per-particle
+    arrays pos/mass/vel/ptype/mark are dropped (None) — the payload is a
+    bit-exact encoding of all five (pack_soa8t stores raw velocities), so
+    the rare XLA-fallback paths reconstruct them on demand via the *_a()
+    accessors (fused slices under jit; no persistent duplicate buffers).
+    Persistent cost is then ~36 B/particle (payload 32 + orig_idx 4 +
+    CSR starts ~0.2) + 4 B when phi is carried, vs ~73 B with duplicates.
+    SO_TPU_DEDUP=0 keeps the legacy duplicate layout.
     """
     m: int                      # static: finest level has 2^m cells per axis
     lo: jnp.ndarray             # (3,) f32 box lower corner (center - period/2)
     period: jnp.ndarray         # (3,) f32
-    pos: jnp.ndarray            # (N,3) f32 Morton-sorted original positions
-    mass: jnp.ndarray           # (N,)  f32
-    vel: jnp.ndarray            # (N,3) f32
-    phi: jnp.ndarray            # (N,)  f32
-    ptype: jnp.ndarray          # (N,)  i32 species code (DARK/GAS/STAR)
-    mark: jnp.ndarray           # (N,)  bool
+    pos: jnp.ndarray | None     # (N,3) f32 Morton-sorted original positions
+    mass: jnp.ndarray | None    # (N,)  f32
+    vel: jnp.ndarray | None     # (N,3) f32
+    phi: jnp.ndarray | None     # (N,)  f32 (None when the caller provided
+    #                             no potentials — phi_a() serves zeros)
+    ptype: jnp.ndarray | None   # (N,)  i32 species code (DARK/GAS/STAR)
+    mark: jnp.ndarray | None    # (N,)  bool
     orig_idx: jnp.ndarray       # (N,)  i32 sorted-row -> original file order
     starts: tuple               # per level g=0..m: (8^(m-g)+1,) i32
     soa8t: jnp.ndarray | None = None  # (8, N+chunk) payload for the Pallas
@@ -73,7 +84,41 @@ class CellGrid:
 
     @property
     def n(self) -> int:
-        return self.pos.shape[0]
+        return self.orig_idx.shape[0]
+
+    # --- accessors serving either the stored array or a payload slice ---
+    # (bit-exact: pack_soa8t copies pos/mass/vel f32 verbatim and packs
+    # ptype|mark<<4 into the meta row — small ints are exact in f32)
+
+    def pos_a(self) -> jnp.ndarray:
+        if self.pos is not None:
+            return self.pos
+        return self.soa8t[0:3, :self.n].T
+
+    def mass_a(self) -> jnp.ndarray:
+        if self.mass is not None:
+            return self.mass
+        return self.soa8t[3, :self.n]
+
+    def vel_a(self) -> jnp.ndarray:
+        if self.vel is not None:
+            return self.vel
+        return self.soa8t[4:7, :self.n].T
+
+    def ptype_a(self) -> jnp.ndarray:
+        if self.ptype is not None:
+            return self.ptype
+        return self.soa8t[7, :self.n].astype(jnp.int32) & 0xF
+
+    def mark_a(self) -> jnp.ndarray:
+        if self.mark is not None:
+            return self.mark
+        return (self.soa8t[7, :self.n].astype(jnp.int32) >> 4) > 0
+
+    def phi_a(self) -> jnp.ndarray:
+        if self.phi is not None:
+            return self.phi
+        return jnp.zeros(self.n, jnp.float32)
 
     def ncell(self, level: int) -> int:
         return 1 << (self.m - level)
@@ -171,6 +216,7 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     """
     pos = jnp.asarray(pos, jnp.float32)
     n = pos.shape[0]
+    has_phi = phi is not None
     mass = jnp.asarray(mass, jnp.float32)
     vel = jnp.zeros((n, 3), jnp.float32) if vel is None else jnp.asarray(vel, jnp.float32)
     phi = jnp.zeros(n, jnp.float32) if phi is None else jnp.asarray(phi, jnp.float32)
@@ -182,9 +228,13 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     if m is None:
         m = choose_m(n)
     out = _build_device(m, lo, period, pos, mass, vel, phi, ptype, mark)
+    # free the unsorted device inputs before packing the payload — at
+    # 512^3-class sizes the build-time HBM peak is what limits a single
+    # chip (docs/RESULTS.md round-3 memory budget)
+    del pos, mass, vel, phi, ptype, mark
     grid = CellGrid(m, lo, period, *out, chunk=choose_chunk(n, m))
+    del out
     if pallas is None:
-        import os
         env = os.environ.get("SO_TPU_PALLAS", "auto")
         if env == "0":
             pallas = False
@@ -197,4 +247,12 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
         grid.soa8t = jax.jit(pack_soa8t, static_argnames=("chunk",))(
             grid.pos, grid.mass, grid.vel, grid.ptype, grid.mark,
             chunk=grid.chunk)
+        if os.environ.get("SO_TPU_DEDUP", "1") != "0":
+            # the payload encodes pos/mass/vel/ptype/mark bit-exactly —
+            # drop the duplicates (XLA frees the buffers); rare fallback
+            # paths reconstruct via the *_a() accessors
+            grid.pos = grid.mass = grid.vel = None
+            grid.ptype = grid.mark = None
+            if not has_phi:
+                grid.phi = None
     return grid

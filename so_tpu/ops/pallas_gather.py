@@ -22,7 +22,13 @@ Output layout (B, 8, K) channels: [d2, mass, m*vx, m*vy, m*vz, meta,
 idx_lo, idx_hi]; out-of-ball and pad slots carry d2=+inf / zero payload.
 idx = idx_lo + 4096*idx_hi is the exact source row (f32-exact split).
 Particle payload is a transposed (8, N_pad) float32 SoA:
-  rows: [x, y, z, mass, m*vx, m*vy, m*vz, meta], meta = species | mark<<4.
+  rows: [x, y, z, mass, vx, vy, vz, meta], meta = species | mark<<4.
+The m*v output channels are computed in-kernel (mass * v, one f32 IEEE
+multiply — bit-identical to a host-side product), so the payload stores
+RAW velocities: every grid array (pos, mass, vel, ptype, mark) is then
+bit-exactly recoverable from the payload rows, which lets CellGrid drop
+its duplicate per-particle arrays on the Pallas path (the HBM memory
+budget, docs/RESULTS.md round 3).
 """
 
 from __future__ import annotations
@@ -59,13 +65,17 @@ CH_D2, CH_MASS, CH_MVX, CH_MVY, CH_MVZ, CH_META, CH_ILO, CH_IHI = range(8)
 
 
 def pack_soa8t(pos, mass, vel, ptype, mark, chunk: int = CHUNK):
-    """Build the padded, transposed (8, N + chunk) payload array."""
+    """Build the padded, transposed (8, N + chunk) payload array.
+
+    Rows 4-6 hold RAW velocities (the kernel multiplies by the mass row
+    when emitting m*v channels), so the payload is a lossless, bit-exact
+    encoding of (pos, mass, vel, ptype, mark) — see CellGrid's accessors.
+    """
     meta = (ptype.astype(jnp.int32)
             | (mark.astype(jnp.int32) << 4)).astype(jnp.float32)
-    mv = vel * mass[:, None]
     soa = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2],
                      mass.astype(jnp.float32),
-                     mv[:, 0], mv[:, 1], mv[:, 2], meta], axis=0)
+                     vel[:, 0], vel[:, 1], vel[:, 2], meta], axis=0)
     pad = jnp.zeros((8, chunk), jnp.float32).at[0:3, :].set(1e30)
     return jnp.concatenate([soa.astype(jnp.float32), pad], axis=1)
 
@@ -108,10 +118,12 @@ def chunk_descriptors(st, cnt, q, K: int, CHUNK: int = CHUNK):
 def _make_kernel(chans: tuple, CHUNK: int = CHUNK):
     """Kernel emitting only the requested channels (d2 is always row 0).
 
-    Channel names: mass, mvx, mvy, mvz, meta (SoA rows 3..7) and ilo/ihi
-    (split source-row index). Fewer channels = proportionally less VMEM->HBM
-    output traffic per stage."""
-    soa_row = {"mass": 3, "mvx": 4, "mvy": 5, "mvz": 6, "meta": 7}
+    Channel names: mass, mvx, mvy, mvz, meta and ilo/ihi (split source-row
+    index). The mv* channels multiply the mass row by the raw-velocity rows
+    in-kernel. Fewer channels = proportionally less VMEM->HBM output
+    traffic per stage."""
+    soa_row = {"mass": 3, "meta": 7}
+    vel_row = {"mvx": 4, "mvy": 5, "mvz": 6}
     nch = 1 + len(chans)
     # deep DMA ring only on hardware; the interpreter executes each DMA
     # eagerly and a 2-slot ring keeps CI time sane
@@ -179,6 +191,10 @@ def _make_kernel(chans: tuple, CHUNK: int = CHUNK):
                             v = (row & 0xFFF).astype(jnp.float32)
                         elif ch == "ihi":
                             v = (row >> 12).astype(jnp.float32)
+                        elif ch in vel_row:
+                            # m*v from mass x raw-v rows (same f32 bits as
+                            # the host product the payload used to store)
+                            v = buf[3:4, :] * buf[vel_row[ch]:vel_row[ch] + 1, :]
                         else:
                             r0 = soa_row[ch]
                             v = buf[r0:r0 + 1, :]

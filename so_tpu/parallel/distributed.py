@@ -227,6 +227,7 @@ def build_sharded_grid_segment(mesh, start: int, n_global: int, pos, mass,
         raise ValueError(f"host {pid} segment ({start}, {count}) != "
                          f"expected {want} for this mesh")
 
+    has_phi = phi is not None
     mass = np.asarray(mass, np.float32)
     vel = np.zeros((count, 3), np.float32) if vel is None else np.asarray(vel, np.float32)
     phi = np.zeros(count, np.float32) if phi is None else np.asarray(phi, np.float32)
@@ -270,12 +271,18 @@ def build_sharded_grid_segment(mesh, start: int, n_global: int, pos, mass,
         from ..ops.pallas_gather import pack_soa8t
         soa_s = jax.jit(jax.vmap(_partial(pack_soa8t, chunk=chunk)))(
             pos_s, mass_s, vel_s, ptype_s, mark_s)
+        if os.environ.get("SO_TPU_DEDUP", "1") != "0":
+            # same HBM dedup as build_sharded_grid: the payload encodes
+            # pos/mass/vel/ptype/mark bit-exactly
+            pos_s = mass_s = vel_s = ptype_s = mark_s = None
+            if not has_phi:
+                phi_s = None
 
     lo_row = pid * pph
-    gp = lambda a: make_global_from_local(
+    gp = lambda a: None if a is None else make_global_from_local(
         mesh, P("part"), np.asarray(a), (nsh,) + a.shape[1:], lo_row)
     return ShardedGrid(
         m, make_global(mesh, P(), lo), make_global(mesh, P(), period_a),
         gp(pos_s), gp(mass_s), gp(vel_s), gp(phi_s), gp(ptype_s), gp(mark_s),
         gp(orig), tuple(gp(s) for s in starts_s),
-        None if soa_s is None else gp(soa_s), chunk=chunk)
+        gp(soa_s), chunk=chunk)

@@ -22,6 +22,7 @@ Everything runs under one jit with shard_map — XLA inserts the collectives
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -66,11 +67,11 @@ class ShardedGrid:
 
     @property
     def nshards(self) -> int:
-        return self.pos.shape[0]
+        return self.orig_idx.shape[0]
 
     @property
     def n_local(self) -> int:
-        return self.pos.shape[1]
+        return self.orig_idx.shape[1]
 
     def tree_flatten(self):
         return ((self.lo, self.period, self.pos, self.mass, self.vel,
@@ -84,24 +85,27 @@ class ShardedGrid:
 
     def local_cellgrid(self) -> CellGrid:
         """Inside shard_map: view this shard's block (leading dim 1) as a
-        plain CellGrid."""
-        sq = lambda a: a[0]
+        plain CellGrid. Deduplicated (None) per-particle arrays pass
+        through — CellGrid's *_a() accessors serve them from the payload."""
+        sq = lambda a: None if a is None else a[0]
         return CellGrid(self.m, self.lo, self.period, sq(self.pos),
                         sq(self.mass), sq(self.vel), sq(self.phi),
                         sq(self.ptype), sq(self.mark), sq(self.orig_idx),
                         tuple(sq(s) for s in self.starts),
-                        None if self.soa8t is None else sq(self.soa8t),
-                        chunk=self.chunk)
+                        sq(self.soa8t), chunk=self.chunk)
 
 
 def _specs_grid(sgrid: ShardedGrid) -> ShardedGrid:
     """shard_map in_specs pytree matching a ShardedGrid: particle arrays
     and per-level starts sharded along 'part', box constants replicated.
-    Static aux (m, chunk) must equal the operand's for structure match."""
+    Static aux (m, chunk) must equal the operand's for structure match;
+    deduplicated (None) arrays mirror as None so the pytrees align."""
+    sp = lambda a: None if a is None else P("part")
     return ShardedGrid(
-        sgrid.m, P(), P(), *(P("part"),) * 7,
+        sgrid.m, P(), P(), sp(sgrid.pos), sp(sgrid.mass), sp(sgrid.vel),
+        sp(sgrid.phi), sp(sgrid.ptype), sp(sgrid.mark), P("part"),
         tuple(P("part") for _ in sgrid.starts),
-        None if sgrid.soa8t is None else P("part"), chunk=sgrid.chunk)
+        sp(sgrid.soa8t), chunk=sgrid.chunk)
 
 
 def grid_proxy(sgrid: ShardedGrid, with_slab: bool = True):
@@ -137,6 +141,7 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     """
     pos = np.asarray(pos, np.float32)
     n = pos.shape[0]
+    has_phi = phi is not None
     mass = np.asarray(mass, np.float32)
     vel = np.zeros((n, 3), np.float32) if vel is None else np.asarray(vel, np.float32)
     phi = np.zeros(n, np.float32) if phi is None else np.asarray(phi, np.float32)
@@ -171,7 +176,6 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     orig = jnp.take_along_axis(jnp.asarray(gidx), perm_s, axis=1)
 
     if pallas is None:
-        import os
         env = os.environ.get("SO_TPU_PALLAS", "auto")
         pallas = (env == "1" if env in ("0", "1")
                   else jax.default_backend() not in ("cpu",))
@@ -185,19 +189,27 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
         from ..ops.pallas_gather import pack_soa8t
         soa = jax.jit(jax.vmap(partial(pack_soa8t, chunk=chunk)))(
             pos_s, mass_s, vel_s, ptype_s, mark_s)
+        if os.environ.get("SO_TPU_DEDUP", "1") != "0":
+            # payload is a bit-exact encoding — drop the duplicates (the
+            # HBM budget; CellGrid *_a() accessors serve the rare XLA
+            # paths from payload slices). phi is kept only if provided.
+            pos_s = mass_s = vel_s = ptype_s = mark_s = None
+            if not has_phi:
+                phi_s = None
 
     sg = ShardedGrid(m, jnp.asarray(lo), jnp.asarray(period_a), pos_s, mass_s,
                      vel_s, phi_s, ptype_s, mark_s, orig, tuple(starts_s),
                      soa, chunk=chunk)
     if mesh is not None:
         def place(a):
-            return jax.device_put(a, NamedSharding(mesh, P("part")))
+            return None if a is None else \
+                jax.device_put(a, NamedSharding(mesh, P("part")))
         sg = ShardedGrid(m, jax.device_put(sg.lo, NamedSharding(mesh, P())),
                          jax.device_put(sg.period, NamedSharding(mesh, P())),
                          place(sg.pos), place(sg.mass), place(sg.vel),
                          place(sg.phi), place(sg.ptype), place(sg.mark),
                          place(sg.orig_idx), tuple(place(s) for s in sg.starts),
-                         None if soa is None else place(soa), chunk=chunk)
+                         place(soa), chunk=chunk)
     return sg
 
 
@@ -230,15 +242,15 @@ def _local_hits(grid: CellGrid, level: int, K: int, S: int, centers, radii,
     outs = [g.d2]
     for ch in channels:
         if ch == "mass":
-            outs.append(jnp.where(ok, grid.mass[g.idx], 0.0))
+            outs.append(jnp.where(ok, grid.mass_a()[g.idx], 0.0))
         elif ch == "meta":
-            meta = (grid.ptype[g.idx]
-                    | (grid.mark[g.idx].astype(jnp.int32) << 4)
+            meta = (grid.ptype_a()[g.idx]
+                    | (grid.mark_a()[g.idx].astype(jnp.int32) << 4)
                     ).astype(jnp.float32)
             outs.append(jnp.where(ok, meta, 0.0))
         elif ch in ("mvx", "mvy", "mvz"):
             if mv is None:
-                mv = grid.mass[g.idx, None] * grid.vel[g.idx]
+                mv = grid.mass_a()[g.idx, None] * grid.vel_a()[g.idx]
             outs.append(jnp.where(ok, mv[..., "xyz".index(ch[2])], 0.0))
         elif ch == "ilo":
             outs.append(jnp.where(ok, (g.idx & 0xFFF).astype(jnp.float32), 0.0))
@@ -671,8 +683,8 @@ def recenter_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
         g = ragged_ball_gather(grid, level, centers, radii, radii * radii,
                                K, S, sort=False)
         ok = jnp.isfinite(g.d2)
-        phi_l = jnp.where(ok, grid.phi[g.idx], jnp.inf)
-        pos_l = grid.pos[g.idx]
+        phi_l = jnp.where(ok, grid.phi_a()[g.idx], jnp.inf)
+        pos_l = grid.pos_a()[g.idx]
         n_in_l = ok.sum(axis=1).astype(jnp.int32)
 
         ag = lambda a, ax: jax.lax.all_gather(a, "part", axis=ax, tiled=True)

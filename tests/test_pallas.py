@@ -39,9 +39,13 @@ def test_slab_matches_xla(small_grid):
                       channels=("mass", "mv", "meta", "idx"))
     assert not np.asarray(got.overflow).any()
     np.testing.assert_array_equal(np.asarray(got.n_in), np.asarray(ref.n_in))
-    mass_np = np.asarray(grid.mass)
-    mv_np = np.asarray(grid.vel) * mass_np[:, None]
-    meta_np = (np.asarray(grid.ptype) | (np.asarray(grid.mark).astype(np.int32) << 4))
+    # the pallas build deduplicates: the raw arrays live only in the
+    # payload, served bit-exactly by the accessors
+    assert grid.mass is None and grid.vel is None
+    mass_np = np.asarray(grid.mass_a())
+    mv_np = np.asarray(grid.vel_a()) * mass_np[:, None]
+    meta_np = (np.asarray(grid.ptype_a())
+               | (np.asarray(grid.mark_a()).astype(np.int32) << 4))
     for b in range(B):
         n = int(ref.n_in[b])
         # 1-ulp FMA/fusion differences between the two lowerings are allowed
@@ -91,3 +95,51 @@ def test_slab_recenter_matches_xla():
     a = recenter_most_bound(g_xla, centers, rgtp)
     b = recenter_most_bound(g_slab, centers, rgtp)
     np.testing.assert_array_equal(a, b)
+
+
+def test_dedup_payload_roundtrip_bit_exact():
+    """The payload is a lossless encoding: every accessor on a
+    deduplicated grid returns bit-identical arrays to a duplicate-layout
+    build of the same inputs, and the giant-K fallback grid
+    (solver._stage_grid) materializes the same bits."""
+    from so_tpu.engine.solver import K_SLAB_MAX, _stage_grid
+
+    rng = np.random.default_rng(21)
+    N = 500
+    pos = rng.uniform(-0.5, 0.5, (N, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, N).astype(np.float32)
+    vel = rng.normal(size=(N, 3)).astype(np.float32)
+    ptype = rng.choice([1, 2, 4], N).astype(np.int32)
+    mark = rng.uniform(size=N) < 0.3
+    kw = dict(vel=vel, ptype=ptype, mark=mark, m=2)
+    g_d = build_grid(pos, mass, pallas=True, **kw)
+    g_x = build_grid(pos, mass, pallas=False, **kw)
+    assert g_d.pos is None and g_d.soa8t is not None
+    assert g_d.phi is None           # no potentials provided -> dropped
+    assert g_d.n == g_x.n == N
+    np.testing.assert_array_equal(np.asarray(g_d.pos_a()), np.asarray(g_x.pos))
+    np.testing.assert_array_equal(np.asarray(g_d.mass_a()), np.asarray(g_x.mass))
+    np.testing.assert_array_equal(np.asarray(g_d.vel_a()), np.asarray(g_x.vel))
+    np.testing.assert_array_equal(np.asarray(g_d.ptype_a()), np.asarray(g_x.ptype))
+    np.testing.assert_array_equal(np.asarray(g_d.mark_a()), np.asarray(g_x.mark))
+    np.testing.assert_array_equal(np.asarray(g_d.phi_a()), np.asarray(g_x.phi))
+
+    fb = _stage_grid(g_d, K_SLAB_MAX + 1)
+    assert fb.soa8t is None
+    np.testing.assert_array_equal(np.asarray(fb.pos), np.asarray(g_x.pos))
+    np.testing.assert_array_equal(np.asarray(fb.mass), np.asarray(g_x.mass))
+    np.testing.assert_array_equal(np.asarray(fb.vel), np.asarray(g_x.vel))
+    assert _stage_grid(g_d, K_SLAB_MAX + 1) is fb   # cached
+
+    # phi provided -> carried through dedup for the -pot paths
+    g_phi = build_grid(pos, mass, phi=mass * 2, pallas=True, **kw)
+    assert g_phi.phi is not None
+
+
+def test_dedup_env_escape_hatch(monkeypatch):
+    monkeypatch.setenv("SO_TPU_DEDUP", "0")
+    rng = np.random.default_rng(22)
+    pos = rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, 200).astype(np.float32)
+    g = build_grid(pos, mass, m=2, pallas=True)
+    assert g.soa8t is not None and g.pos is not None and g.mass is not None

@@ -159,3 +159,135 @@ def resolve_conflicts(index: np.ndarray, pos: np.ndarray,
     return ConflictState(igrp=igrp, n_subsumed=n_sub, n_ignored=n_ign,
                          mvir=mvir, rvir=rvir, slurped_own=slurped_own,
                          groups_removed=removed, groups_slurped=slurped)
+
+
+# ---------------------------------------------------------------------------
+# Component decomposition — the provably-parallel form of the serial walk
+# ---------------------------------------------------------------------------
+#
+# Every read and write of the walk above touches only (a) catalog columns
+# of groups whose member lists SHARE a particle row with the current
+# group's list (ownership can only arise from earlier tagging of a shared
+# row; zeroing/slurping touches only rows the zeroed group tagged, which
+# are inside its own list), and (b) per-particle state of rows inside the
+# current component's member lists. Hence the serial mass-order walk
+# decomposes EXACTLY over connected components of the "groups sharing a
+# member row" graph: running each component's groups in the global order
+# restricted to that component is bit-identical to the reference's single
+# serial pass (kd2.c:864-895). This is what lets the multi-controller
+# driver shard the 1e6-group walk across hosts and keep per-particle
+# output arrays only for its own particle segment.
+
+
+def conflict_components(code: np.ndarray, members: list) -> np.ndarray:
+    """Connected-component label per group (−1 for groups that never walk:
+    error codes or empty member lists). Union-find over shared member rows
+    via one sort of the concatenated (row, group) pairs."""
+    G = len(members)
+    active = [g for g in range(G)
+              if code[g] == 0 and members[g] is not None and members[g].size]
+    parent = np.arange(G, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    if active:
+        rows = np.concatenate([np.asarray(members[g], np.int64)
+                               for g in active])
+        gids = np.repeat(np.asarray(active, np.int64),
+                         [members[g].size for g in active])
+        o = np.argsort(rows, kind="stable")
+        rows_s, gids_s = rows[o], gids[o]
+        same = rows_s[1:] == rows_s[:-1]
+        for a, b in zip(gids_s[:-1][same], gids_s[1:][same]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+    comp = np.full(G, -1, np.int64)
+    for g in active:
+        comp[g] = find(g)
+    return comp
+
+
+def resolve_conflicts_components(index, pos, mvir, rvir, code, order,
+                                 members, n_particles,
+                                 comp: np.ndarray | None = None,
+                                 comp_sel=None,
+                                 use_native: bool | None = None
+                                 ) -> ConflictState:
+    """resolve_conflicts via the component decomposition — bit-identical
+    output (tests/test_native.py fuzz + the distributed CLI byte test).
+
+    ``comp_sel(component_ids) -> mask`` optionally restricts the walk to a
+    subset of components (the multi-controller driver passes each host its
+    round-robin share); per-particle outputs then cover only rows inside
+    the selected components and per-group columns only their groups —
+    callers merge across hosts. Singleton components (groups sharing no
+    member row with any other group) cannot conflict: they are applied as
+    one vectorized tag, skipping the walk entirely.
+    """
+    G = index.shape[0]
+    if comp is None:
+        comp = conflict_components(code, members)
+    mvir_out = np.asarray(mvir, np.float32).copy()
+    rvir_out = np.asarray(rvir, np.float32).copy()
+    igrp = np.zeros(n_particles, np.int32)
+    n_sub = np.zeros(n_particles, np.int32)
+    n_ign = np.zeros(n_particles, np.int32)
+    slurped_own = np.zeros(G, bool)
+    removed = slurped = 0
+
+    roots, counts = np.unique(comp[comp >= 0], return_counts=True)
+    if comp_sel is not None:
+        keep = comp_sel(roots)
+        roots, counts = roots[keep], counts[keep]
+    keep_root = set(roots.tolist())
+
+    # singleton components: tag all members unconditionally (own == 0
+    # everywhere by construction)
+    single_roots = set(roots[counts == 1].tolist())
+    rank = np.empty(G, np.int64)
+    rank[np.asarray(order)] = np.arange(G)
+    multi_groups = []
+    for g in range(G):
+        c = comp[g]
+        if c < 0 or c not in keep_root:
+            continue
+        if c in single_roots:
+            igrp[members[g]] = np.int32(index[g])
+        else:
+            multi_groups.append(g)
+
+    # multi-group components: the exact serial walk per component, over
+    # compacted particle rows (the native C pass runs per component)
+    multi_groups.sort(key=lambda g: rank[g])
+    by_comp: dict = {}
+    for g in multi_groups:
+        by_comp.setdefault(comp[g], []).append(g)
+    for c, gs in by_comp.items():
+        gs = np.asarray(gs, np.int64)      # already in global mass order
+        rows_c = np.unique(np.concatenate([members[g] for g in gs]))
+        mem_c = [np.searchsorted(rows_c, members[g]) for g in gs]
+        st = resolve_conflicts(
+            index[gs], pos[gs], mvir[gs], rvir[gs], code[gs],
+            np.arange(gs.size), mem_c, rows_c.size,
+            use_native=use_native)
+        igrp[rows_c] = st.igrp
+        n_sub[rows_c] = st.n_subsumed
+        n_ign[rows_c] = st.n_ignored
+        mvir_out[gs] = st.mvir
+        rvir_out[gs] = st.rvir
+        slurped_own[gs] = st.slurped_own
+        removed += st.groups_removed
+        slurped += st.groups_slurped
+
+    return ConflictState(igrp=igrp, n_subsumed=n_sub, n_ignored=n_ign,
+                         mvir=mvir_out, rvir=rvir_out,
+                         slurped_own=slurped_own,
+                         groups_removed=removed, groups_slurped=slurped)

@@ -108,3 +108,74 @@ def test_streaming_sogrp_write_at_scale(tmp_path):
         fp.seek(-32, os.SEEK_END)
         tail = fp.read().strip().split(b"\n")
         assert tail[-1] == str((n - 1) % 1_000_003).encode()
+
+
+def _assert_state_equal(a, b):
+    np.testing.assert_array_equal(a.igrp, b.igrp)
+    np.testing.assert_array_equal(a.n_subsumed, b.n_subsumed)
+    np.testing.assert_array_equal(a.n_ignored, b.n_ignored)
+    np.testing.assert_array_equal(a.mvir, b.mvir)
+    np.testing.assert_array_equal(a.rvir, b.rvir)
+    np.testing.assert_array_equal(a.slurped_own, b.slurped_own)
+    assert a.groups_removed == b.groups_removed
+    assert a.groups_slurped == b.groups_slurped
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6])
+def test_component_pass_matches_serial(seed):
+    """The component-decomposed walk (engine.conflicts.
+    resolve_conflicts_components) is bit-identical to the single serial
+    pass on overlapping-group fuzz cases — the exactness claim the
+    multi-controller sharded conflict pass rests on."""
+    from so_tpu.engine.conflicts import resolve_conflicts_components
+
+    rng = np.random.default_rng(100 + seed)
+    args = _random_case(rng)
+    a = resolve_conflicts(*args)
+    b = resolve_conflicts_components(*args)
+    _assert_state_equal(a, b)
+
+
+@pytest.mark.parametrize("nhosts", [2, 3])
+def test_component_pass_host_split_merges_exactly(nhosts):
+    """comp_sel round-robin split across virtual hosts + merge ==
+    unrestricted pass (what parallel.driver's sharded conflict phase
+    does across processes)."""
+    from so_tpu.engine.conflicts import (conflict_components,
+                                         resolve_conflicts_components)
+
+    rng = np.random.default_rng(77)
+    args = _random_case(rng, n_groups=60)
+    index, pos, mvir, rvir, code, order, members, n_particles = args
+    want = resolve_conflicts_components(*args)
+
+    comp = conflict_components(code, members)
+    igrp = np.zeros(n_particles, np.int32)
+    n_sub = np.zeros(n_particles, np.int32)
+    n_ign = np.zeros(n_particles, np.int32)
+    mvir_m = np.asarray(mvir, np.float32).copy()
+    rvir_m = np.asarray(rvir, np.float32).copy()
+    slurped = np.zeros(index.size, bool)
+    removed = ns = 0
+    for h in range(nhosts):
+        st = resolve_conflicts_components(
+            *args, comp=comp, comp_sel=lambda roots: roots % nhosts == h)
+        # per-particle outputs are disjoint across hosts (component rows)
+        touched = (st.igrp != 0) | (st.n_subsumed > 0) | (st.n_ignored > 0)
+        igrp[touched] = st.igrp[touched]
+        n_sub[touched] += st.n_subsumed[touched]
+        n_ign[touched] += st.n_ignored[touched]
+        own = comp >= 0
+        own &= (comp % nhosts) == h
+        mvir_m[own] = st.mvir[own]
+        rvir_m[own] = st.rvir[own]
+        slurped[own] = st.slurped_own[own]
+        removed += st.groups_removed
+        ns += st.groups_slurped
+    np.testing.assert_array_equal(igrp, want.igrp)
+    np.testing.assert_array_equal(n_sub, want.n_subsumed)
+    np.testing.assert_array_equal(n_ign, want.n_ignored)
+    np.testing.assert_array_equal(mvir_m, want.mvir)
+    np.testing.assert_array_equal(rvir_m, want.rvir)
+    np.testing.assert_array_equal(slurped, want.slurped_own)
+    assert removed == want.groups_removed and ns == want.groups_slurped

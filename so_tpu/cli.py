@@ -332,35 +332,54 @@ def main(argv=None) -> int:
                     if on)
     units = unit_conversions(f_mass_unit, f_mpc_unit, f_redshift)
 
+    def write_particle_array(path, run, field):
+        """Per-particle tipsy-array output. A SegmentConflictState (the
+        --distributed segmented conflict pass) holds only this host's
+        particle segment: every process then writes its own byte range
+        cooperatively — O(N/P) memory, called on ALL processes."""
+        vals = getattr(run.conflicts, field)
+        if getattr(run.conflicts, "seg_start", None) is not None:
+            from .parallel.driver import write_array_file_segments
+
+            write_array_file_segments(path, vals, run.conflicts.n_global)
+        elif is_p0:
+            write_array_file(path, vals)
+
     def write_outputs(base, run, threshold, threshold_user):
-        with open(f"{base}.sovcirc", "w") as fp_out:
-            write_sovcirc_header(fp_out, run_time, gtp_file, list_file,
-                                 stat_file, np.float32(threshold),
-                                 threshold_user, f_redshift, f_omega,
-                                 f_lambda, b_periodic, f_period, f_center,
-                                 f_min_mass, n_members, b_pot, f_mass_unit,
-                                 f_mpc_unit)
-            # stats to stderr and the catalog file (kdOutStats)
-            sys.stderr.write(format_stats(run.stats, for_file=False))
-            fp_out.write(format_stats(run.stats, for_file=True))
-            for sp in (DARK, GAS, STAR, MARK):
-                if sp in species:
-                    write_profile_file(f"{base}.{SPECIES_EXT[sp]}", fp_out,
-                                       run_time, sp, catalog.index,
-                                       run.derived.profiles[sp], units)
-            write_sovcirc_rows(fp_out, catalog.index, run.mvir, run.rvir,
-                               run.derived.rmass, run.derived.rmax,
-                               run.derived.vmax, run.derived.vcirc, units)
+        """Catalog-level files are written by process 0; per-particle
+        files go through write_particle_array (cooperative segment writes
+        under --distributed, hence called on every process)."""
+        if is_p0:
+            with open(f"{base}.sovcirc", "w") as fp_out:
+                write_sovcirc_header(fp_out, run_time, gtp_file, list_file,
+                                     stat_file, np.float32(threshold),
+                                     threshold_user, f_redshift, f_omega,
+                                     f_lambda, b_periodic, f_period, f_center,
+                                     f_min_mass, n_members, b_pot,
+                                     f_mass_unit, f_mpc_unit)
+                # stats to stderr and the catalog file (kdOutStats)
+                sys.stderr.write(format_stats(run.stats, for_file=False))
+                fp_out.write(format_stats(run.stats, for_file=True))
+                for sp in (DARK, GAS, STAR, MARK):
+                    if sp in species:
+                        write_profile_file(f"{base}.{SPECIES_EXT[sp]}",
+                                           fp_out, run_time, sp,
+                                           catalog.index,
+                                           run.derived.profiles[sp], units)
+                write_sovcirc_rows(fp_out, catalog.index, run.mvir, run.rvir,
+                                   run.derived.rmass, run.derived.rmax,
+                                   run.derived.vmax, run.derived.vcirc,
+                                   units)
         if b_grp:
-            write_array_file(f"{base}.sogrp", run.conflicts.igrp)
-        if b_gtp:
+            write_particle_array(f"{base}.sogrp", run, "igrp")
+        if b_gtp and is_p0:
             write_sogtp(f"{base}.sogtp", f_time, catalog.n_in_gtp,
                         catalog.index, run.mvir, run.rvir, catalog.pos,
                         run.solve.vcm, b_standard)
         if b_subsumed:
-            write_array_file(f"{base}.sosub", run.conflicts.n_subsumed)
+            write_particle_array(f"{base}.sosub", run, "n_subsumed")
         if b_ignored:
-            write_array_file(f"{base}.soign", run.conflicts.n_ignored)
+            write_particle_array(f"{base}.soign", run, "n_ignored")
 
     if checkpoint is not None and mesh_shape is not None:
         # run_so_sharded has no resume wiring yet; failing loudly beats a
@@ -415,9 +434,10 @@ def main(argv=None) -> int:
 
         run = run_so_distributed(tipsy_file, catalog, params,
                                  standard=b_standard, mark_mask=mask)
-        if is_p0:
-            write_outputs(out_base, run, f_threshold, b_threshold)
-        # writers finish on process 0 before any process may exit
+        # ALL processes enter: per-particle files are written as
+        # cooperative per-host segments; catalog files by process 0
+        write_outputs(out_base, run, f_threshold, b_threshold)
+        # writers finish everywhere before any process may exit
         multihost_utils.sync_global_devices("so_tpu_distributed_done")
         solve_seconds = run.solve_seconds
     elif deltas is not None:

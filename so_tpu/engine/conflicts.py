@@ -215,33 +215,51 @@ def conflict_components(code: np.ndarray, members: list) -> np.ndarray:
     return comp
 
 
-def resolve_conflicts_components(index, pos, mvir, rvir, code, order,
-                                 members, n_particles,
-                                 comp: np.ndarray | None = None,
-                                 comp_sel=None,
-                                 use_native: bool | None = None
-                                 ) -> ConflictState:
-    """resolve_conflicts via the component decomposition — bit-identical
-    output (tests/test_native.py fuzz + the distributed CLI byte test).
+@dataclass
+class SparseConflictRows:
+    """Per-particle conflict outputs as (row, value) triplets — only rows
+    inside the walked components appear; everything else is implicitly
+    (igrp=0, n_sub=0, n_ign=0). Rows are unique across the structure
+    (components have disjoint member-row sets by construction), so a
+    scatter into zeroed dense arrays reproduces the serial pass exactly."""
+    rows: np.ndarray          # (T,) i64 particle rows
+    igrp: np.ndarray          # (T,) i32
+    n_subsumed: np.ndarray    # (T,) i32
+    n_ignored: np.ndarray     # (T,) i32
+    own: np.ndarray           # (G,) bool — groups inside walked components
+    mvir: np.ndarray          # (G,) f32, mutated only at own groups
+    rvir: np.ndarray          # (G,) f32, mutated only at own groups
+    slurped_own: np.ndarray   # (G,) bool (False outside own)
+    groups_removed: int
+    groups_slurped: int
 
-    ``comp_sel(component_ids) -> mask`` optionally restricts the walk to a
-    subset of components (the multi-controller driver passes each host its
-    round-robin share); per-particle outputs then cover only rows inside
-    the selected components and per-group columns only their groups —
-    callers merge across hosts. Singleton components (groups sharing no
-    member row with any other group) cannot conflict: they are applied as
-    one vectorized tag, skipping the walk entirely.
+
+def conflict_walk_sparse(index, pos, mvir, rvir, code, order, members,
+                         comp: np.ndarray | None = None, comp_sel=None,
+                         use_native: bool | None = None
+                         ) -> SparseConflictRows:
+    """The component-decomposed conflict walk with SPARSE per-particle
+    output — the multi-controller form: each host walks only its share of
+    components (``comp_sel``) and holds O(tagged rows of its components)
+    state instead of O(n_particles) dense arrays.
+
+    ``comp_sel(component_ids) -> mask`` restricts the walk to a subset of
+    components (the distributed driver passes each host its round-robin
+    share); per-group columns are then meaningful only at ``own`` groups
+    and callers merge across hosts (own masks are disjoint). Singleton
+    components (groups sharing no member row with any other group) cannot
+    conflict: they are emitted as one unconditional tag, skipping the
+    walk entirely.
     """
     G = index.shape[0]
     if comp is None:
         comp = conflict_components(code, members)
     mvir_out = np.asarray(mvir, np.float32).copy()
     rvir_out = np.asarray(rvir, np.float32).copy()
-    igrp = np.zeros(n_particles, np.int32)
-    n_sub = np.zeros(n_particles, np.int32)
-    n_ign = np.zeros(n_particles, np.int32)
+    own = np.zeros(G, bool)
     slurped_own = np.zeros(G, bool)
     removed = slurped = 0
+    rows_l, ig_l, ns_l, ni_l = [], [], [], []
 
     roots, counts = np.unique(comp[comp >= 0], return_counts=True)
     if comp_sel is not None:
@@ -259,8 +277,14 @@ def resolve_conflicts_components(index, pos, mvir, rvir, code, order,
         c = comp[g]
         if c < 0 or c not in keep_root:
             continue
+        own[g] = True
         if c in single_roots:
-            igrp[members[g]] = np.int32(index[g])
+            m = np.asarray(members[g], np.int64)
+            rows_l.append(m)
+            ig_l.append(np.full(m.size, np.int32(index[g]), np.int32))
+            z = np.zeros(m.size, np.int32)
+            ns_l.append(z)
+            ni_l.append(z)
         else:
             multi_groups.append(g)
 
@@ -278,16 +302,46 @@ def resolve_conflicts_components(index, pos, mvir, rvir, code, order,
             index[gs], pos[gs], mvir[gs], rvir[gs], code[gs],
             np.arange(gs.size), mem_c, rows_c.size,
             use_native=use_native)
-        igrp[rows_c] = st.igrp
-        n_sub[rows_c] = st.n_subsumed
-        n_ign[rows_c] = st.n_ignored
+        rows_l.append(rows_c)
+        ig_l.append(st.igrp)
+        ns_l.append(st.n_subsumed)
+        ni_l.append(st.n_ignored)
         mvir_out[gs] = st.mvir
         rvir_out[gs] = st.rvir
         slurped_own[gs] = st.slurped_own
         removed += st.groups_removed
         slurped += st.groups_slurped
 
+    cat = lambda ls, dt: (np.concatenate(ls) if ls
+                          else np.zeros(0, dt)).astype(dt, copy=False)
+    return SparseConflictRows(
+        rows=cat(rows_l, np.int64), igrp=cat(ig_l, np.int32),
+        n_subsumed=cat(ns_l, np.int32), n_ignored=cat(ni_l, np.int32),
+        own=own, mvir=mvir_out, rvir=rvir_out, slurped_own=slurped_own,
+        groups_removed=removed, groups_slurped=slurped)
+
+
+def resolve_conflicts_components(index, pos, mvir, rvir, code, order,
+                                 members, n_particles,
+                                 comp: np.ndarray | None = None,
+                                 comp_sel=None,
+                                 use_native: bool | None = None
+                                 ) -> ConflictState:
+    """resolve_conflicts via the component decomposition — bit-identical
+    output (tests/test_native.py fuzz + the distributed CLI byte test).
+    The dense form of conflict_walk_sparse: scatter the sparse triplets
+    into zeroed n_particles arrays."""
+    sp = conflict_walk_sparse(index, pos, mvir, rvir, code, order, members,
+                              comp=comp, comp_sel=comp_sel,
+                              use_native=use_native)
+    igrp = np.zeros(n_particles, np.int32)
+    n_sub = np.zeros(n_particles, np.int32)
+    n_ign = np.zeros(n_particles, np.int32)
+    igrp[sp.rows] = sp.igrp
+    n_sub[sp.rows] = sp.n_subsumed
+    n_ign[sp.rows] = sp.n_ignored
     return ConflictState(igrp=igrp, n_subsumed=n_sub, n_ignored=n_ign,
-                         mvir=mvir_out, rvir=rvir_out,
-                         slurped_own=slurped_own,
-                         groups_removed=removed, groups_slurped=slurped)
+                         mvir=sp.mvir, rvir=sp.rvir,
+                         slurped_own=sp.slurped_own,
+                         groups_removed=sp.groups_removed,
+                         groups_slurped=sp.groups_slurped)

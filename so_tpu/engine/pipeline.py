@@ -212,14 +212,17 @@ def _scatter_derived(src, ok_rows, eligible, n, species):
 
 def _post_solve(grid, particles, catalog, centers, solve, params,
                 timer, members=None, fused_fn=None, derived_fn=None,
-                vcm_fn=None, n_particles=None, stats_fn=None) -> SORun:
+                vcm_fn=None, n_particles=None, stats_fn=None,
+                conflict_fn=None) -> SORun:
     """``fused_fn``/``derived_fn`` inject multi-device shard_map stages
     (parallel.mesh.sharded_fused_members_fn / sharded_derived_fn) into the
     otherwise identical post-solve sequence; ``grid`` may then be a
     grid_proxy. ``vcm_fn``/``n_particles`` support multi-controller hosts
     that hold only a particle segment (parallel.driver): vcm comes from
     merged per-segment partials and the conflict pass sizes its arrays
-    from the GLOBAL particle count."""
+    from the GLOBAL particle count. ``conflict_fn`` replaces the serial
+    conflict pass (parallel.driver.dist_conflict_fn: the component-sharded
+    walk returning a per-segment SegmentConflictState)."""
     ok = solve.code == 0
     derived_all = None
     if members is None:
@@ -245,11 +248,11 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
     with timer.phase("conflict protocol"):
         # ascending input-mass order (kdSortMass, kd2.c:843-861)
         order = indexx(np.asarray(catalog.gtp_mass, np.float32))
-        conflicts = resolve_conflicts(catalog.index, centers, solve.mvir,
-                                      solve.rvir, solve.code, order,
-                                      members,
-                                      n_particles if n_particles is not None
-                                      else particles.n)
+        resolve = resolve_conflicts if conflict_fn is None else conflict_fn
+        conflicts = resolve(catalog.index, centers, solve.mvir,
+                            solve.rvir, solve.code, order, members,
+                            n_particles if n_particles is not None
+                            else particles.n)
 
     eligible = ok & ~conflicts.slurped_own  # kdSO eligibility (kd2.c:884)
     with timer.phase("derived quantities"):

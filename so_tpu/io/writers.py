@@ -133,6 +133,45 @@ def write_array_file(path: str, values: np.ndarray) -> None:
             fp.write("\n")
 
 
+def int_array_text_length(values: np.ndarray) -> int:
+    """Exact byte length of values formatted as "%d\n" lines (no header).
+
+    Integer-threshold digit counting (no float log10 — exact at powers of
+    ten); vectorized, so per-host segment offsets for a 1e9-line .sogrp
+    are O(ten passes) over the segment."""
+    v = np.asarray(values, np.int64)
+    n = v.shape[0]
+    total = 2 * n                    # 1 digit + newline minimum
+    total += int((v < 0).sum())      # sign characters
+    a = np.abs(v)
+    t = 10
+    while True:
+        extra = int((a >= t).sum())
+        if not extra:
+            break
+        total += extra
+        t *= 10
+    return total
+
+
+def write_int_array_segment(path: str, values: np.ndarray,
+                            offset: int) -> None:
+    """Write "%d\n" lines at a byte offset of an EXISTING file — the
+    per-host segment write for .sogrp/.sosub/.soign in multi-controller
+    runs (process 0 pre-creates the file with the count header and sizes
+    it; int_array_text_length gives each host its exact offset)."""
+    from ..native import write_int_array_segment_native
+
+    if write_int_array_segment_native(path, values, offset):
+        return
+    CHUNK = 1 << 20
+    with open(path, "r+b") as fp:
+        fp.seek(offset)
+        for lo in range(0, values.shape[0], CHUNK):
+            blk = np.asarray(values[lo:lo + CHUNK]).astype(np.int64)
+            fp.write(("\n".join(map(str, blk.tolist())) + "\n").encode())
+
+
 def write_sogtp(path: str, snapshot_time: float, n_in_gtp: int,
                 index: np.ndarray, mvir: np.ndarray, rvir: np.ndarray,
                 pos: np.ndarray, vcm: np.ndarray, standard: bool) -> None:

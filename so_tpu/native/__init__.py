@@ -60,6 +60,9 @@ def get_lib():
         ctypes.c_int64, i64p, ctypes.c_int64, i32p, i32p, i32p, u8p, i64p]
     lib.so_write_int_array.restype = ctypes.c_int
     lib.so_write_int_array.argtypes = [ctypes.c_char_p, i32p, ctypes.c_int64]
+    lib.so_write_int_array_segment.restype = ctypes.c_int
+    lib.so_write_int_array_segment.argtypes = [
+        ctypes.c_char_p, i32p, ctypes.c_int64, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -127,4 +130,16 @@ def write_int_array_native(path: str, values) -> bool:
     v = np.ascontiguousarray(values, np.int32)
     rc = lib.so_write_int_array(path.encode(), _ptr(v, ctypes.c_int32),
                                 v.shape[0])
+    return rc == 0
+
+
+def write_int_array_segment_native(path: str, values, offset: int) -> bool:
+    """Write len(values) "%d\n" lines at a byte offset of an existing
+    file (no header) — the per-host .sogrp segment write."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    v = np.ascontiguousarray(values, np.int32)
+    rc = lib.so_write_int_array_segment(
+        path.encode(), _ptr(v, ctypes.c_int32), v.shape[0], int(offset))
     return rc == 0

@@ -164,6 +164,43 @@ int so_conflict_pass(
     return rc;
 }
 
+/* Segment variant for multi-controller runs: append n "%d\n" lines at a
+ * byte offset of an EXISTING file (process 0 pre-creates it with the
+ * count header and truncates to the exact total size; each host then
+ * writes only its own particle segment — the .sogrp ownership story for
+ * 1e9-particle runs). No header is written here. */
+int so_write_int_array_segment(const char *path, const int32_t *vals,
+                               int64_t n, int64_t offset)
+{
+    FILE *fp = fopen(path, "r+b");
+    if (!fp) return -1;
+    if (fseeko(fp, (off_t)offset, SEEK_SET)) { fclose(fp); return -5; }
+    enum { CAP = 1 << 20 };
+    char *buf = malloc(CAP);
+    if (!buf) { fclose(fp); return -2; }
+    char *p = buf;
+    for (int64_t i = 0; i < n; ++i) {
+        if (p - buf > CAP - 16) {
+            if (fwrite(buf, 1, (size_t)(p - buf), fp) != (size_t)(p - buf)) {
+                free(buf); fclose(fp); return -3;
+            }
+            p = buf;
+        }
+        int64_t v = vals[i];
+        uint64_t u = v < 0 ? (*p++ = '-', (uint64_t)(-v)) : (uint64_t)v;
+        char tmp[12];
+        int k = 0;
+        do { tmp[k++] = (char)('0' + (u % 10)); u /= 10; } while (u);
+        while (k) *p++ = tmp[--k];
+        *p++ = '\n';
+    }
+    int rc = 0;
+    if (p != buf && fwrite(buf, 1, (size_t)(p - buf), fp) != (size_t)(p - buf))
+        rc = -3;
+    free(buf);
+    return fclose(fp) ? -4 : rc;
+}
+
 /* Fast "%d\n" array writer (kdWriteArray format, kd2.c:1244-1264). */
 int so_write_int_array(const char *path, const int32_t *vals, int64_t n)
 {

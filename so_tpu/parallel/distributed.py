@@ -183,6 +183,29 @@ def allgather_f64(a) -> np.ndarray:
     return out.view(np.float64).reshape((-1,) + a.shape)
 
 
+def allgather_varlen(a: np.ndarray) -> list:
+    """Bit-exact process_allgather of per-host 1-D arrays of DIFFERING
+    lengths; returns one array per process, dtype preserved.
+
+    Transport is uint32 views (process_allgather routes through jax
+    arrays, which would truncate i64/f64 when x64 is off); lengths are
+    gathered first so every host pads to the same global max. Used by the
+    segmented conflict exchange (each host ships the sparse rows of its
+    walked components)."""
+    from jax.experimental import multihost_utils
+
+    a = np.ascontiguousarray(a)
+    dt = a.dtype
+    raw = a.view(np.uint32)
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.array([raw.shape[0]], np.int32))).reshape(-1)
+    m = max(int(counts.max()), 1) if counts.size else 1
+    pad = np.zeros(m, np.uint32)
+    pad[:raw.shape[0]] = raw
+    out = np.asarray(multihost_utils.process_allgather(pad)).reshape(-1, m)
+    return [out[p, :int(counts[p])].view(dt) for p in range(out.shape[0])]
+
+
 def fetch_sharded(arr) -> np.ndarray:
     """Host numpy from a (possibly multi-process) jax.Array whose shards
     are all addressable locally — true for P('halo')-sharded outputs of the

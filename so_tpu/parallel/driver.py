@@ -15,19 +15,25 @@ the SAME program (SPMD-host style) —
      the shard_map kernels in make_global / fetch_sharded — since every
      host sees identical solver state, all hosts issue identical dispatch
      sequences and the cross-process collectives line up;
-  4. host-side phases (conflict protocol, stats, writers): member lists
-     and catalog columns are halo-sharded, hence fully addressable on
-     every host; each host runs the identical conflict pass, vcm/stats
-     reductions merge per-segment partials (process_allgather), and
-     process 0 writes the output files.
+  4. host-side phases: the conflict protocol is SHARDED by connected
+     component of the shared-member-row graph (dist_conflict_fn — the
+     exact decomposition of the serial walk, engine.conflicts); each host
+     walks its round-robin component share, ships sparse (row, tag)
+     triplets, and keeps per-particle conflict state only for its own
+     segment (SegmentConflictState). vcm/stats reductions merge
+     per-segment partials (process_allgather); catalog-level files are
+     written by process 0 while .sogrp/.sosub/.soign are written
+     cooperatively, each host writing its own byte range
+     (write_array_file_segments + io.writers.int_array_text_length).
 
 Ownership story at 1024^3 (1e9 particles, docs/RESULTS.md "memory
 budget"): particle DATA is strictly per-host (segment reads + 'part'
-sharding); the per-PARTICLE outputs (igrp / n_subsumed / n_ignored) are
-i32 vectors built from member index lists, ~12 B/particle on every host
-(4+4+4), the only remaining O(N) host state — at 1e9 that is 12 GB/host,
-acceptable on v5p hosts; a fully segmented conflict pass (exchange member
-lists by owner segment) is the documented follow-up if it is not.
+sharding); per-PARTICLE conflict outputs are O(N/P) per host steady
+(12 B/particle over the segment) with an O(total tagged rows) transient
+during the sparse exchange. The remaining O(N)-class host state is the
+member index lists themselves (fetched halo-replicated for the walk,
+~8 B/member-row/host); sharding those by component is the documented
+follow-up if a target box ever exceeds host RAM.
 
 Association notes: vcm and the stats mass sums merge per-host f64
 partials in host order instead of one global f64 pass — differences are
@@ -39,12 +45,122 @@ single-process CLI).
 from __future__ import annotations
 
 import time as _time
+from dataclasses import dataclass
 
 import numpy as np
 
-from .distributed import (build_sharded_grid_segment, fetch_sharded,
-                          grid_segment, make_global, make_multihost_mesh)
+from .distributed import (allgather_varlen, build_sharded_grid_segment,
+                          fetch_sharded, grid_segment, make_global,
+                          make_multihost_mesh)
 from .mesh import grid_proxy
+
+
+@dataclass
+class SegmentConflictState:
+    """ConflictState whose per-particle arrays cover ONLY this host's
+    particle segment [seg_start, seg_start+seg_count) of the global file
+    order — the O(N/P)-per-host form the 1e9-particle ownership story
+    needs. Per-group columns and counters are global (replicated)."""
+    igrp: np.ndarray          # (seg_count,) i32
+    n_subsumed: np.ndarray    # (seg_count,) i32
+    n_ignored: np.ndarray     # (seg_count,) i32
+    seg_start: int
+    seg_count: int
+    n_global: int
+    mvir: np.ndarray          # (G,) f32 post-conflict catalog columns
+    rvir: np.ndarray          # (G,) f32
+    slurped_own: np.ndarray   # (G,) bool
+    groups_removed: int
+    groups_slurped: int
+
+
+def dist_conflict_fn(start: int, count: int):
+    """_post_solve conflict_fn: the component-sharded conflict walk.
+
+    Components of the shared-member-row graph are assigned round-robin to
+    processes; each host runs the exact serial walk on its share
+    (engine.conflicts.conflict_walk_sparse — bit-identical decomposition,
+    tests/test_native.py) and ships its sparse (row, igrp, n_sub, n_ign)
+    triplets to every host, which keeps only the rows inside its own
+    particle segment. Per-group columns merge by the disjoint ownership
+    masks. Host memory: O(seg_count) steady + O(total tagged rows)
+    transient during the exchange."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..engine.conflicts import conflict_components, conflict_walk_sparse
+
+    def conflict_fn(index, pos, mvir, rvir, code, order, members,
+                    n_particles):
+        nproc, pid = jax.process_count(), jax.process_index()
+        comp = conflict_components(code, members)
+        sp = conflict_walk_sparse(index, pos, mvir, rvir, code, order,
+                                  members, comp=comp,
+                                  comp_sel=lambda r: r % nproc == pid)
+
+        rows_all = allgather_varlen(sp.rows)
+        vals_all = allgather_varlen(np.stack(
+            [sp.igrp, sp.n_subsumed, sp.n_ignored], axis=1).ravel())
+        igrp = np.zeros(count, np.int32)
+        nsub = np.zeros(count, np.int32)
+        nign = np.zeros(count, np.int32)
+        for rows_p, vals_p in zip(rows_all, vals_all):
+            v = vals_p.reshape(-1, 3)
+            sel = (rows_p >= start) & (rows_p < start + count)
+            loc = rows_p[sel] - start
+            igrp[loc] = v[sel, 0]
+            nsub[loc] = v[sel, 1]
+            nign[loc] = v[sel, 2]
+
+        own_a, mvir_a, rvir_a, sl_a, cnt_a = multihost_utils.process_allgather(
+            (sp.own.astype(np.uint8), sp.mvir, sp.rvir,
+             sp.slurped_own.astype(np.uint8),
+             np.array([sp.groups_removed, sp.groups_slurped], np.int32)))
+        mvir_m = np.asarray(mvir, np.float32).copy()
+        rvir_m = np.asarray(rvir, np.float32).copy()
+        slurped = np.zeros(index.shape[0], bool)
+        removed = slurped_n = 0
+        for p in range(nproc):
+            o = own_a[p].astype(bool)
+            mvir_m[o] = mvir_a[p][o]
+            rvir_m[o] = rvir_a[p][o]
+            slurped[o] = sl_a[p][o].astype(bool)
+            removed += int(cnt_a[p][0])
+            slurped_n += int(cnt_a[p][1])
+        return SegmentConflictState(
+            igrp=igrp, n_subsumed=nsub, n_ignored=nign, seg_start=start,
+            seg_count=count, n_global=n_particles, mvir=mvir_m, rvir=rvir_m,
+            slurped_own=slurped, groups_removed=removed,
+            groups_slurped=slurped_n)
+
+    return conflict_fn
+
+
+def write_array_file_segments(path: str, seg_values: np.ndarray,
+                              n_global: int) -> None:
+    """Cooperative tipsy-array write: every process calls this with its
+    own segment (global file order); process 0 creates the file with the
+    count header and sizes it, then each host writes its lines at its
+    exact byte offset (io.writers.int_array_text_length). Requires a
+    shared filesystem — the same requirement process-0-writes-everything
+    had, without the O(N) gather."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..io.writers import int_array_text_length, write_int_array_segment
+
+    pid = jax.process_index()
+    lens = [int(a[0]) for a in
+            allgather_varlen(np.array([int_array_text_length(seg_values)],
+                                      np.int64))]
+    header = ("%d\n" % n_global).encode()
+    if pid == 0:
+        with open(path, "wb") as fp:
+            fp.write(header)
+            fp.truncate(len(header) + sum(lens))
+    multihost_utils.sync_global_devices("so_tpu_seg_create:" + path)
+    write_int_array_segment(path, seg_values, len(header) + sum(lens[:pid]))
+    multihost_utils.sync_global_devices("so_tpu_seg_done:" + path)
 
 
 def _pad_rows(a, n_halo: int, fill=0.0):
@@ -211,10 +327,18 @@ def dist_stats_fn(mass_seg: np.ndarray, start: int):
     count = m64.shape[0]
 
     def stats_fn(conflicts):
-        sl = slice(start, start + count)
-        nsub = conflicts.n_subsumed[sl]
-        nign = conflicts.n_ignored[sl]
-        ig = conflicts.igrp[sl]
+        if getattr(conflicts, "seg_start", None) is not None:
+            # segmented conflict state: arrays already cover exactly this
+            # host's segment
+            assert (conflicts.seg_start, conflicts.seg_count) \
+                == (start, count)
+            nsub, nign, ig = (conflicts.n_subsumed, conflicts.n_ignored,
+                              conflicts.igrp)
+        else:
+            sl = slice(start, start + count)
+            nsub = conflicts.n_subsumed[sl]
+            nign = conflicts.n_ignored[sl]
+            ig = conflicts.igrp[sl]
         part = np.array([
             nsub.sum(), (nsub > 0).sum(),
             (m64 * nsub).sum(), m64[nsub > 0].sum(),
@@ -335,7 +459,8 @@ def run_so_distributed(snapshot_path: str, catalog, params,
             derived_fn=dist_derived_fn(mesh, sgrid),
             vcm_fn=dist_vcm_fn(pset.vel * pset.mass[:, None], start),
             n_particles=n_global,
-            stats_fn=dist_stats_fn(pset.mass, start))
+            stats_fn=dist_stats_fn(pset.mass, start),
+            conflict_fn=dist_conflict_fn(start, count))
 
     run.solve_seconds = _time.perf_counter() - t0
     if params.verbose and jax.process_index() == 0:

@@ -242,3 +242,85 @@ def test_segment_grid_pallas_payload_matches():
     assert sg.chunk == ref.chunk
     np.testing.assert_array_equal(np.asarray(sg.soa8t),
                                   np.asarray(ref.soa8t))
+
+
+# ---------------------------------------------------------------------------
+# Segmented conflict phase pieces (single-process forms; the 2-process CLI
+# byte test above exercises the real cross-process exchange)
+# ---------------------------------------------------------------------------
+
+
+def test_dist_conflict_fn_matches_serial_single_process():
+    """parallel.driver.dist_conflict_fn with P=1 reproduces the serial
+    resolve_conflicts bit-for-bit, including with a restricted particle
+    segment (arrays then equal the dense slice)."""
+    from test_native import _random_case
+
+    from so_tpu.engine.conflicts import resolve_conflicts
+    from so_tpu.parallel.driver import dist_conflict_fn
+
+    rng = np.random.default_rng(31)
+    args = _random_case(rng, n_groups=50)
+    index, pos, mvir, rvir, code, order, members, n = args
+    want = resolve_conflicts(*args)
+
+    for start, count in ((0, n), (n // 3, n // 2)):
+        got = dist_conflict_fn(start, count)(
+            index, pos, mvir, rvir, code, order, members, n)
+        assert (got.seg_start, got.seg_count, got.n_global) \
+            == (start, count, n)
+        sl = slice(start, start + count)
+        np.testing.assert_array_equal(got.igrp, want.igrp[sl])
+        np.testing.assert_array_equal(got.n_subsumed, want.n_subsumed[sl])
+        np.testing.assert_array_equal(got.n_ignored, want.n_ignored[sl])
+        np.testing.assert_array_equal(got.mvir, want.mvir)
+        np.testing.assert_array_equal(got.rvir, want.rvir)
+        np.testing.assert_array_equal(got.slurped_own, want.slurped_own)
+        assert (got.groups_removed, got.groups_slurped) \
+            == (want.groups_removed, want.groups_slurped)
+
+
+def test_int_array_text_length_exact_and_segment_write(tmp_path):
+    """int_array_text_length matches the formatted byte count exactly
+    (including negatives and powers of ten), and a cooperative segment
+    write reproduces write_array_file byte-for-byte."""
+    from so_tpu.io.writers import (int_array_text_length, write_array_file,
+                                   write_int_array_segment)
+    from so_tpu.parallel.driver import write_array_file_segments
+
+    edge = np.array([0, 1, -1, 9, 10, 99, 100, 999, 1000, 10**6 - 1, 10**6,
+                     -10**6, 2**31 - 1, -2**31 + 1], np.int64)
+    rng = np.random.default_rng(7)
+    v = np.concatenate([edge, rng.integers(-50, 10**7, 20000)])
+    body = b"".join(b"%d\n" % x for x in v.tolist())
+    assert int_array_text_length(v) == len(body)
+
+    v32 = v.astype(np.int32)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_array_file(a, v32)
+    write_array_file_segments(b, v32, v32.shape[0])
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+    # manual two-segment write against the one-shot file
+    c = str(tmp_path / "c")
+    cut = 1234
+    header = b"%d\n" % v32.shape[0]
+    with open(c, "wb") as fp:
+        fp.write(header)
+        fp.truncate(len(header) + int_array_text_length(v32))
+    write_int_array_segment(c, v32[:cut], len(header))
+    write_int_array_segment(c, v32[cut:],
+                            len(header) + int_array_text_length(v32[:cut]))
+    assert open(c, "rb").read() == open(a, "rb").read()
+
+
+def test_allgather_varlen_single_process():
+    from so_tpu.parallel.distributed import allgather_varlen
+
+    for arr in (np.arange(7, dtype=np.int64) * (1 << 40),
+                np.zeros(0, np.int64),
+                np.array([-3, 2**31 - 1], np.int32),
+                np.array([1.5, -0.25], np.float64)):
+        out = allgather_varlen(arr)
+        assert len(out) == 1 and out[0].dtype == arr.dtype
+        np.testing.assert_array_equal(out[0], arr)

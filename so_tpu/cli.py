@@ -396,17 +396,11 @@ def main(argv=None) -> int:
         sys.stderr.write("--distributed cannot be combined with --mesh, "
                          "--checkpoint, or --deltas yet\n")
         raise SystemExit(1)
-    if b_survey and (mesh_shape is not None or b_distributed):
-        # the classifier pre-pass needs direct grid access (single-device
-        # only); it is an optimization, so warn-and-continue
-        sys.stderr.write("note: --survey is ignored with "
-                         f"{'--mesh' if mesh_shape is not None else '--distributed'}"
-                         " (not supported yet)\n")
-        b_survey = False
-
     # --survey forces the classifier pre-pass; without the flag the engine
     # AUTO-gates it by sampling (engine/solver.py SURVEY_*), so dense
-    # survey catalogs get the win with no flag
+    # survey catalogs get the win with no flag. Works under --mesh /
+    # --distributed too (the part-merged kk-prefix classify,
+    # parallel.mesh.classify_stage_sharded).
     params = SOParams(threshold=float(np.float32(f_threshold)),
                       n_members=n_members,
                       period=tuple(f_period), center=tuple(f_center),

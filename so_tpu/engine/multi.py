@@ -73,7 +73,8 @@ def _multi_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
 def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                      n_members: int = 8, k0_cap: int = 4096, s_max: int = 11,
                      slot_budget: int = 1 << 25,
-                     stage_fn=None, survey: bool | None = None) -> MultiSolveResult:
+                     stage_fn=None, survey: bool | None = None,
+                     classify_stage_fn=None) -> MultiSolveResult:
     """Batched R_Delta for every (halo, threshold) pair, shared gathers.
 
     ``stage_fn(level, K, S, n_members, T, centers, radii)`` overrides the
@@ -117,7 +118,8 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
     minus1_open = np.ones(G, bool)
     DK = 8
 
-    if survey is not False and not injected and not resolved.all():
+    if survey is not False and not resolved.all() \
+            and (not injected or classify_stage_fn is not None):
         live = np.nonzero(~resolved.all(axis=0))[0]
         auto = survey is None
         if not auto or live.size >= _solver.SURVEY_MIN_G:
@@ -129,9 +131,15 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
             def classify(part, radii):
                 B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
                                              radii)
-                arr = np.asarray(_classify_stage(
-                    _stage_grid(grid, K), level, K, S, n_members,
-                    jnp.asarray(c_pad), jnp.asarray(r_pad), thr_dev, T=T))
+                if classify_stage_fn is not None:
+                    arr = np.asarray(classify_stage_fn(
+                        level, K, S, n_members, c_pad, r_pad,
+                        np.asarray(thr_dev)))
+                else:
+                    arr = np.asarray(_classify_stage(
+                        _stage_grid(grid, K), level, K, S, n_members,
+                        jnp.asarray(c_pad), jnp.asarray(r_pad), thr_dev,
+                        T=T))
                 w0 = arr[:part.size, 0]
                 n_in = w0 & 0x7FFFFFFF
                 ovf = (w0 >> 31) & 1

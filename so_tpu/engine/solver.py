@@ -271,10 +271,26 @@ def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
         mass = jnp.where(ok, grid.mass_a()[g.idx], 0.0)
         overflow = g.overflow
     n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
+    d2k, mk = _classify_prefix(d2, mass, kk)
+    return _classify_verdict(d2k, mk, n_in, overflow, thresholds, T,
+                             n_members)
 
+
+def _classify_prefix(d2, mass, kk: int):
+    """Ascending kk-nearest (d2, mass) prefix of unsorted hit lists (pad
+    slots carry d2=+inf/mass=0). Composable across particle shards: the
+    global kk-prefix of per-shard kk-prefixes equals the kk-prefix of the
+    union, which is what classify_stage_sharded all_gathers."""
     negd2, idx = jax.lax.top_k(-d2, kk)
-    d2k = -negd2                                   # ascending distances
-    mk = jnp.take_along_axis(mass, idx, axis=1)
+    return -negd2, jnp.take_along_axis(mass, idx, axis=1)
+
+
+def _classify_verdict(d2k, mk, n_in, overflow, thresholds, T: int,
+                      n_members: int):
+    """The order-invariant -1/-2 verdict core over an ascending
+    kk-prefix; see _classify_stage for the contract and the tie-deferral
+    argument (any ordering of equal keys gives the same packed result)."""
+    kk = d2k.shape[1]
     cum = seq_cumsum(mk, axis=1)
     rho = cum / (FOUR_THIRDS_PI * (d2k * jnp.sqrt(d2k)))
     slot = jnp.arange(kk, dtype=jnp.int32)[None, :]
@@ -659,7 +675,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                slot_budget: int = 1 << 26,
                progress=None, stage_fn=None, fused=None,
                fused_b2: int = 256, fused_stage_fn=None,
-               survey: bool | None = None) -> SolveResult:
+               survey: bool | None = None,
+               classify_stage_fn=None) -> SolveResult:
     """Solve R_Delta for every halo (batched, staged capacity escalation).
 
     ``stage_fn(level, K, S, n_members, centers, radii, thr)`` overrides the
@@ -681,8 +698,11 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     extra dispatch otherwise. True forces it (CLI --survey), False
     disables it, and the default None AUTO-gates: catalogs of
     SURVEY_MIN_G+ halos classify a small sample first and continue only
-    if enough of it resolves. Single-device path only (needs direct grid
-    access).
+    if enough of it resolves. Needs direct grid access OR an injected
+    ``classify_stage_fn(level, K, S, n_members, c_pad, r_pad, thr_vec)``
+    (parallel.mesh.sharded_classify_fn / parallel.driver.dist_classify_fn
+    — the part-merged kk-prefix classify), so --survey works under
+    --mesh and --distributed too.
     """
     default_stage = stage_fn is None
     if stage_fn is None:
@@ -822,7 +842,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         if progress is not None:
             progress(resolved.sum(), G)
 
-    if survey is not False and default_stage and not resolved.all():
+    if survey is not False and not resolved.all() \
+            and (default_stage or classify_stage_fn is not None):
         # sort-free -1/-2 pre-pass over the first ladder rung: resolves
         # the candidate-poor bulk of survey catalogs without a K-wide
         # sort; survivors rescan rung 1 in the normal rounds (cheap
@@ -844,9 +865,14 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
                                              radii)
                 t0 = _pc()
-                arr = np.asarray(_classify_stage(
-                    _stage_grid(grid, K), level, K, S, n_members,
-                    jnp.asarray(c_pad), jnp.asarray(r_pad), thr_vec, T=1))
+                if classify_stage_fn is not None:
+                    arr = np.asarray(classify_stage_fn(
+                        level, K, S, n_members, c_pad, r_pad, thr_vec))
+                else:
+                    arr = np.asarray(_classify_stage(
+                        _stage_grid(grid, K), level, K, S, n_members,
+                        jnp.asarray(c_pad), jnp.asarray(r_pad), thr_vec,
+                        T=1))
                 _dbg_stage("classify", t0, B=B, K=K, S=S, level=level,
                            n=part.size)
                 w0 = arr[:part.size, 0]

@@ -224,6 +224,30 @@ def dist_fused_stage_fn(mesh, sgrid):
     return stage
 
 
+def dist_classify_fn(mesh, sgrid):
+    """solve_rvir classify_stage_fn (--survey across processes):
+    classify_stage_sharded with global inputs and a host fetch."""
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import classify_stage_sharded
+
+    n_halo = mesh.shape["halo"]
+
+    def stage(level, K, S, n_members, c_pad, r_pad, thr_vec):
+        B = c_pad.shape[0]
+        c = _pad_rows(np.asarray(c_pad, np.float32), n_halo)
+        r = _pad_rows(np.asarray(r_pad, np.float32), n_halo, 1e-30)
+        thr = np.atleast_1d(np.asarray(thr_vec, np.float32))
+        out = classify_stage_sharded(
+            mesh, sgrid, level, K, S, n_members,
+            make_global(mesh, P("halo"), c),
+            make_global(mesh, P("halo"), r),
+            make_global(mesh, P(), thr), T=thr.shape[0])
+        return fetch_sharded(out)[:B]
+
+    return stage
+
+
 def dist_fused_members_fn(mesh, sgrid):
     """members_and_derived stage_fn: fused_members_stage_sharded with
     global inputs; member prefix-pack on the host (same contract as
@@ -451,7 +475,9 @@ def run_so_distributed(snapshot_path: str, catalog, params,
                 grid_proxy(sgrid), centers, rgtp, params.threshold,
                 n_members=params.n_members,
                 stage_fn=dist_stage_fn(mesh, sgrid),
-                fused_stage_fn=dist_fused_stage_fn(mesh, sgrid))
+                fused_stage_fn=dist_fused_stage_fn(mesh, sgrid),
+                classify_stage_fn=dist_classify_fn(mesh, sgrid),
+                survey=params.survey)
 
         run = _post_solve(
             grid_proxy(sgrid), pset, catalog, centers, solve, params,

@@ -298,6 +298,66 @@ def solve_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
     )(sgrid, centers, radii, thr)
 
 
+@partial(jax.jit, static_argnames=("mesh", "level", "K", "S", "n_members",
+                                   "T"))
+def classify_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
+                           K: int, S: int, n_members: int, centers, radii,
+                           thresholds, T: int = 1):
+    """Sharded sort-free -1/-2 classify (--survey under a mesh).
+
+    Each particle shard gathers its local hits and reduces them to the
+    ascending kk-nearest prefix (engine.solver._classify_prefix); the
+    kk-wide prefixes all_gather over 'part' (kk ~ 16 floats per halo —
+    far cheaper than the K-wide solve merge) and a second top-k yields
+    the exact global prefix, since every one of the kk globally-nearest
+    hits is inside its own shard's kk-nearest. The verdict core is shared
+    with the single-device path and is order-invariant (tie-deferral),
+    so sharded verdicts are identical."""
+    from ..engine.solver import _classify_prefix, _classify_verdict
+
+    kk = min(K, max(16, n_members + 2))
+
+    def body(sg: ShardedGrid, centers, radii, thrs):
+        grid = sg.local_cellgrid()
+        d2_l, mass_l, n_in_l, ovf_l = _local_hits(grid, level, K, S,
+                                                  centers, radii, ("mass",))
+        d2k_l, mk_l = _classify_prefix(d2_l, mass_l, kk)
+        d2_all = jax.lax.all_gather(d2k_l, "part", axis=1, tiled=True)
+        mk_all = jax.lax.all_gather(mk_l, "part", axis=1, tiled=True)
+        n_in = jax.lax.psum(n_in_l, "part")
+        overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
+        d2k, mk = _classify_prefix(d2_all, mk_all, kk)
+        return _classify_verdict(d2k, mk, n_in, overflow, thrs, T,
+                                 n_members)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(_specs_grid(sgrid), P("halo"), P("halo"), P()),
+        out_specs=P("halo"),
+        check_vma=False,  # 'part'-replicated via all_gather/psum
+    )(sgrid, centers, radii, thresholds)
+
+
+def sharded_classify_fn(mesh: Mesh, sgrid: ShardedGrid):
+    """Adapter matching solve_rvir's classify_stage_fn contract."""
+    n_halo = mesh.shape["halo"]
+
+    def stage(level, K, S, n_members, c_pad, r_pad, thr_vec):
+        B = c_pad.shape[0]
+        pad = (-B) % n_halo
+        c = jnp.asarray(np.concatenate(
+            [c_pad, np.zeros((pad, 3), np.float32)]) if pad else c_pad)
+        r = jnp.asarray(np.concatenate(
+            [r_pad, np.full(pad, 1e-30, np.float32)]) if pad else r_pad)
+        thr = np.atleast_1d(np.asarray(thr_vec, np.float32))
+        out = classify_stage_sharded(mesh, sgrid, level, K, S, n_members,
+                                     c, r, jnp.asarray(thr),
+                                     T=thr.shape[0])
+        return np.asarray(out)[:B]
+
+    return stage
+
+
 @partial(jax.jit, static_argnames=("mesh", "level", "K", "S", "level2",
                                    "K2", "S2", "B2", "n_members", "dk"))
 def solve_stage_fused_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
@@ -666,6 +726,7 @@ def solve_rvir_multi_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp,
                                   centers, radii, thr_dev)
         return out[:, :B]
 
+    kw.setdefault("classify_stage_fn", sharded_classify_fn(mesh, sgrid))
     return solve_rvir_multi(grid_proxy(sgrid), centers, rgtp, thresholds,
                             n_members=n_members, stage_fn=stage, **kw)
 
@@ -809,7 +870,8 @@ def run_so_sharded(particles, catalog, params, mesh: Mesh):
         with timer.phase("R_Delta solve (sharded)"):
             solve = solve_rvir_sharded(mesh, sgrid, centers, rgtp,
                                        params.threshold,
-                                       n_members=params.n_members)
+                                       n_members=params.n_members,
+                                       survey=params.survey)
 
         run = _post_solve(grid_proxy(sgrid), particles, catalog, centers,
                           solve, params, timer,
@@ -858,7 +920,8 @@ def run_so_multi_sharded(particles, catalog, params, thresholds,
         with timer.phase("R_Delta solve (multi, sharded)"):
             multi = solve_rvir_multi_sharded(mesh, sgrid, centers, rgtp,
                                              thresholds,
-                                             n_members=params.n_members)
+                                             n_members=params.n_members,
+                                             survey=params.survey)
         for t in range(len(thresholds)):
             solve_t = SolveResult(
                 code=multi.code[t].copy(), mvir=multi.mvir[t].copy(),
@@ -908,6 +971,7 @@ def solve_rvir_sharded(mesh: Mesh, sgrid: ShardedGrid, centers, rgtp, thr,
     from ..engine import solver
 
     kw.setdefault("fused_stage_fn", sharded_fused_stage_fn(mesh, sgrid))
+    kw.setdefault("classify_stage_fn", sharded_classify_fn(mesh, sgrid))
     return solver.solve_rvir(grid_proxy(sgrid), centers, rgtp, thr,
                              n_members=n_members,
                              stage_fn=sharded_stage_fn(mesh, sgrid), **kw)

@@ -145,7 +145,11 @@ def test_distributed_cli_matches_single_process(tmp_path):
     write_gtp(f"{workdir}/cat.gtp",
               [c["center"] for c in clumps] + [(0.45, -0.4, 0.3)],
               [0.05, 0.04, 0.03, 0.02], [0.2, 0.08, 0.03, 0.01])
-    extra = ["-grp", "-gtp", "-subsumed", "-ignored", "-dark"]
+    # --survey forces the classify pre-pass in BOTH runs: single-process
+    # via engine.solver._classify_stage, distributed via
+    # parallel.driver.dist_classify_fn (the cross-process kk-prefix
+    # merge) — the byte-identity check below covers their equivalence
+    extra = ["-grp", "-gtp", "-subsumed", "-ignored", "-dark", "--survey"]
 
     assert main(["-i", f"{workdir}/cat.gtp", "--tipsy",
                  f"{workdir}/snap.bin", "-o", f"{workdir}/single"]

@@ -275,6 +275,50 @@ def test_sharded_multi_threshold_matches_single(data):
     np.testing.assert_allclose(got.d2cut, want.d2cut, rtol=2e-6)
 
 
+def test_sharded_survey_matches_single():
+    """solve_rvir_sharded(survey=True) — the classify pre-pass via
+    classify_stage_sharded (per-shard kk-prefix merge over 'part') — must
+    equal both the single-device survey solve and the plain solve on a
+    catalog mixing -1, -2, and successful halos."""
+    from so_tpu.parallel.mesh import solve_rvir_multi_sharded
+
+    rng = np.random.default_rng(55)
+    d = make_clumpy_box(rng, n_background=6000, clumps=[
+        dict(center=(0.2, 0.2, 0.2), n=2000, rmax=0.06, mass_total=0.25)])
+    centers = np.array([
+        (0.2, 0.2, 0.2),        # success
+        (-0.4, -0.4, -0.4),     # tiny ball in the void -> -1
+        (-0.35, 0.4, -0.4),     # big sparse ball -> -2
+        (0.21, 0.19, 0.2),      # success
+        (0.4, -0.4, 0.4),       # another void -2 candidate
+    ], np.float32)
+    rgtp = np.array([0.05, 0.004, 0.2, 0.04, 0.15], np.float32)
+    grid = build_grid(d["pos"], d["mass"], m=3)
+    want = solve_rvir(grid, centers, rgtp, 178.0, survey=False)
+    assert set(np.unique(want.code)) >= {0, -1, -2}
+
+    mesh = make_mesh(2, 4)
+    sgrid = build_sharded_grid(d["pos"], d["mass"], m=3, mesh=mesh)
+    got = solve_rvir_sharded(mesh, sgrid, centers, rgtp, 178.0,
+                             survey=True)
+    np.testing.assert_array_equal(got.code, want.code)
+    np.testing.assert_allclose(got.mvir, want.mvir, rtol=2e-6)
+    np.testing.assert_allclose(got.rvir, want.rvir, rtol=2e-6)
+    np.testing.assert_array_equal(got.j, want.j)
+
+    # multi-threshold: the sharded classifier shares one gather across
+    # thresholds (T-wide -2 bitmask), same contract as engine.multi
+    from so_tpu.engine.multi import solve_rvir_multi
+    thresholds = [178.0, 1e-4]
+    want_m = solve_rvir_multi(grid, centers, rgtp, thresholds,
+                              survey=False)
+    got_m = solve_rvir_multi_sharded(mesh, sgrid, centers, rgtp,
+                                     thresholds, survey=True)
+    np.testing.assert_array_equal(got_m.code, want_m.code)
+    np.testing.assert_allclose(got_m.mvir, want_m.mvir, rtol=2e-6)
+    np.testing.assert_allclose(got_m.rvir, want_m.rvir, rtol=2e-6)
+
+
 def test_cli_mesh_flag_matches_default(tmp_path):
     """The --mesh HxP CLI runs the sharded end-to-end pipeline and must
     reproduce the single-device CLI outputs exactly. Deliberately tiny

@@ -105,7 +105,7 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                         n_members: int = 8, species: tuple = (),
                         grav: float = 1.0, s_max: int = 11,
                         slot_budget: int = 1 << 25, stage_fn=None,
-                        vcm_fn=None):
+                        vcm_fn=None, member_filter=None):
     """One fused pass over the solved halos: (members, vcm, DerivedResult).
 
     Same escalation shape as engine.members.extract_members /
@@ -122,6 +122,12 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
     (parallel.driver computes per-segment member_mv_sums partials and
     merges them across processes); default: members.vcm_from_members over
     ``host_mv``.
+
+    ``member_filter(piece) -> object`` transforms each halo's full
+    distance-sorted member-row array before storage — the multi-controller
+    driver keeps only rows inside its particle segment
+    (parallel.driver.seg_member_filter), so no host retains the O(total
+    member rows) lists; the full array stays a per-chunk transient.
     """
     from .solver import (_chunk_for, _k_limit, _level_groups, _pad_b,
                          _pick_level_span, _stage_grid)
@@ -259,7 +265,8 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                                       2 * _k_limit(grid, s_max))
                     next_todo.append(h)
                 else:
-                    out_members[h] = pieces[i]
+                    out_members[h] = pieces[i] if member_filter is None \
+                        else member_filter(pieces[i])
 
             # group mean velocity from the member rows (_VcmParticles) —
             # shared batch-invariant accumulation (members.vcm_from_members)

@@ -213,7 +213,7 @@ def _scatter_derived(src, ok_rows, eligible, n, species):
 def _post_solve(grid, particles, catalog, centers, solve, params,
                 timer, members=None, fused_fn=None, derived_fn=None,
                 vcm_fn=None, n_particles=None, stats_fn=None,
-                conflict_fn=None) -> SORun:
+                conflict_fn=None, member_filter=None) -> SORun:
     """``fused_fn``/``derived_fn`` inject multi-device shard_map stages
     (parallel.mesh.sharded_fused_members_fn / sharded_derived_fn) into the
     otherwise identical post-solve sequence; ``grid`` may then be a
@@ -239,7 +239,8 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
                 host_mv=(None if vcm_fn is not None
                          else particles.vel * particles.mass[:, None]),
                 n_members=params.n_members, species=tuple(params.species),
-                grav=params.grav, stage_fn=fused_fn, vcm_fn=vcm_fn)
+                grav=params.grav, stage_fn=fused_fn, vcm_fn=vcm_fn,
+                member_filter=member_filter)
             members = [None] * catalog.n
             for slot, h in enumerate(np.nonzero(ok)[0]):
                 members[h] = members_ok[slot]

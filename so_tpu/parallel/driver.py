@@ -29,11 +29,14 @@ the SAME program (SPMD-host style) —
 Ownership story at 1024^3 (1e9 particles, docs/RESULTS.md "memory
 budget"): particle DATA is strictly per-host (segment reads + 'part'
 sharding); per-PARTICLE conflict outputs are O(N/P) per host steady
-(12 B/particle over the segment) with an O(total tagged rows) transient
-during the sparse exchange. The remaining O(N)-class host state is the
-member index lists themselves (fetched halo-replicated for the walk,
-~8 B/member-row/host); sharding those by component is the documented
-follow-up if a target box ever exceeds host RAM.
+(12 B/particle over the segment). Member index lists are SEGMENTED too
+(seg_member_filter: each host keeps only rows inside its particle
+segment, with their walk-order ranks — ~24 B/segment-row), so the
+returned SORun.members holds SegRows views, not full lists; singleton
+conflict components tag locally with no network traffic and only
+multi-group component rows transit the exchanges (O(total
+multi-component rows) transient). No host holds any O(N) array beyond
+its own segment.
 
 Association notes: vcm and the stats mass sums merge per-host f64
 partials in host order instead of one global f64 pass — differences are
@@ -46,6 +49,7 @@ from __future__ import annotations
 
 import time as _time
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import numpy as np
 
@@ -74,36 +78,191 @@ class SegmentConflictState:
     groups_slurped: int
 
 
-def dist_conflict_fn(start: int, count: int):
-    """_post_solve conflict_fn: the component-sharded conflict walk.
+class SegRows(NamedTuple):
+    """One halo's member rows restricted to one host's particle segment.
 
-    Components of the shared-member-row graph are assigned round-robin to
-    processes; each host runs the exact serial walk on its share
-    (engine.conflicts.conflict_walk_sparse — bit-identical decomposition,
-    tests/test_native.py) and ships its sparse (row, igrp, n_sub, n_ign)
-    triplets to every host, which keeps only the rows inside its own
-    particle segment. Per-group columns merge by the disjoint ownership
-    masks. Host memory: O(seg_count) steady + O(total tagged rows)
-    transient during the exchange."""
-    import jax
-    from jax.experimental import multihost_utils
+    ``rows`` are global original indices inside [seg_start, seg_start +
+    seg_count); ``ranks`` each row's slot in the halo's FULL
+    distance-sorted interior list (kdTagParticles walk order,
+    kd2.c:663-720 — segments preserve relative order but reassembly
+    needs the absolute slot); ``n`` the full list length, identical on
+    every host (the fused stage's global counts)."""
+    ranks: np.ndarray   # (k,) i64
+    rows: np.ndarray    # (k,) i64
+    n: int
 
-    from ..engine.conflicts import conflict_components, conflict_walk_sparse
+
+def seg_member_filter(start: int, count: int):
+    """members_and_derived member_filter: keep only this host's segment
+    rows of each halo's member list (with their walk-order ranks), so no
+    host retains O(total member rows) state — the full per-halo array
+    stays a per-chunk transient inside the fused escalation driver."""
+    def filt(piece: np.ndarray) -> SegRows:
+        piece = np.asarray(piece, np.int64)
+        sel = (piece >= start) & (piece < start + count)
+        return SegRows(ranks=np.nonzero(sel)[0].astype(np.int64),
+                       rows=piece[sel], n=int(piece.size))
+
+    return filt
+
+
+def _union_find(G: int, edge_blocks) -> np.ndarray:
+    """Deterministic union-find over group ids; edge_blocks is an
+    iterable of flat i64 (a,b) pair arrays, processed in order (every
+    host sees identical blocks in identical order, so roots agree)."""
+    parent = np.arange(G, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for blk in edge_blocks:
+        pairs = np.asarray(blk, np.int64).reshape(-1, 2)
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+    return np.fromiter((find(g) for g in range(G)), np.int64, count=G)
+
+
+class _JaxTransport:
+    """The real jax.distributed collective surface dist_conflict_fn uses;
+    tests substitute a threaded in-process fake (same duck type)."""
+
+    def __init__(self):
+        import jax
+
+        self.nproc = jax.process_count()
+        self.pid = jax.process_index()
+
+    def allgather_varlen(self, a):
+        return allgather_varlen(a)
+
+    def process_allgather(self, tree):
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(tree)
+
+
+def dist_conflict_fn(start: int, count: int, transport=None):
+    """_post_solve conflict_fn: the component-sharded conflict walk over
+    SEGMENTED member lists (``members[h]`` is a SegRows — this host's
+    slice of the walk list; see seg_member_filter).
+
+    Phases, all O(segment) or O(component share) per host:
+
+    1. components — a shared member row lives in exactly one segment, so
+       each host discovers the edges of the "groups sharing a row" graph
+       inside its own segment ((row, group) sort, adjacent-equal pairs);
+       the deduplicated edge lists allgather (tiny: one pair per locally
+       shared row) and every host runs the same union-find, agreeing on
+       the component labels.
+    2. singleton components cannot conflict (engine/conflicts.py): every
+       host tags its own segment rows locally — their rows never cross
+       the network at all (the dominant fraction in practice).
+    3. multi-group components are assigned round-robin by root id; hosts
+       exchange (group, rank, row) triples of multi-component rows and
+       each owner reassembles the full distance-ordered lists for ITS
+       components only, runs the exact serial walk per component
+       (engine.conflicts.conflict_walk_sparse, bit-identical
+       decomposition — tests/test_native.py), and ships the sparse
+       (row, igrp, n_sub, n_ign) results back; hosts keep rows inside
+       their own segment. Per-group columns merge by the disjoint
+       ownership masks.
+
+    Host memory: O(seg_count) steady; transients are O(total
+    multi-component rows) during the two exchanges — the all-pairs
+    member replication of the pre-segmented design is gone.
+
+    ``transport`` overrides the jax.distributed collectives (process
+    count/id, varlen allgather, process_allgather) — the test harness
+    injects a threaded in-process fake to fuzz multi-host segment
+    configurations without spawning processes."""
+    from ..engine.conflicts import conflict_walk_sparse
+
+    if transport is None:
+        transport = _JaxTransport()
 
     def conflict_fn(index, pos, mvir, rvir, code, order, members,
                     n_particles):
-        nproc, pid = jax.process_count(), jax.process_index()
-        comp = conflict_components(code, members)
-        sp = conflict_walk_sparse(index, pos, mvir, rvir, code, order,
-                                  members, comp=comp,
-                                  comp_sel=lambda r: r % nproc == pid)
+        nproc, pid = transport.nproc, transport.pid
+        G = index.shape[0]
+        counts = np.array([m.n if m is not None else 0 for m in members],
+                          np.int64)
+        active = (np.asarray(code) == 0) & (counts > 0)
+        act = np.nonzero(active)[0]
 
-        rows_all = allgather_varlen(sp.rows)
-        vals_all = allgather_varlen(np.stack(
-            [sp.igrp, sp.n_subsumed, sp.n_ignored], axis=1).ravel())
+        # -- 1. components from per-segment shared rows ------------------
+        if act.size:
+            rows_cat = np.concatenate([members[g].rows for g in act])
+            gid_cat = np.repeat(act, [members[g].rows.size for g in act])
+        else:
+            rows_cat = np.zeros(0, np.int64)
+            gid_cat = np.zeros(0, np.int64)
+        o = np.argsort(rows_cat, kind="stable")
+        rows_s, gid_s = rows_cat[o], gid_cat[o]
+        same = rows_s[1:] == rows_s[:-1]
+        edges = np.unique(
+            np.stack([gid_s[:-1][same], gid_s[1:][same]], axis=1), axis=0)
+        comp_full = _union_find(G, transport.allgather_varlen(edges.ravel()))
+        comp = np.where(active, comp_full, -1)
+
+        roots, root_sizes = np.unique(comp[act], return_counts=True)
+        multi_roots = roots[root_sizes >= 2]
+        mine = multi_roots[multi_roots % nproc == pid]
+
         igrp = np.zeros(count, np.int32)
         nsub = np.zeros(count, np.int32)
         nign = np.zeros(count, np.int32)
+
+        # -- 2. singleton components: tag locally, no exchange -----------
+        single = set(roots[root_sizes == 1].tolist())
+        for g in act:
+            if comp[g] in single:
+                igrp[members[g].rows - start] = np.int32(index[g])
+
+        # -- 3. multi-group components: triple exchange + owner walks ----
+        in_multi = np.isin(comp, multi_roots) & active
+        mg = np.nonzero(in_multi)[0]
+        if mg.size:
+            tri = np.empty((sum(members[g].rows.size for g in mg), 3),
+                           np.int64)
+            off = 0
+            for g in mg:
+                k = members[g].rows.size
+                tri[off:off + k, 0] = g
+                tri[off:off + k, 1] = members[g].ranks
+                tri[off:off + k, 2] = members[g].rows
+                off += k
+        else:
+            tri = np.zeros((0, 3), np.int64)
+        tri_all = transport.allgather_varlen(tri.ravel())
+
+        owned = mg[np.isin(comp[mg], mine)] if mg.size else mg
+        base = np.full(G, -1, np.int64)
+        base[owned] = np.cumsum(counts[owned]) - counts[owned]
+        flat = np.full(int(counts[owned].sum()), -1, np.int64)
+        for blk in tri_all:
+            t = np.asarray(blk, np.int64).reshape(-1, 3)
+            sel = np.isin(comp[t[:, 0]], mine)
+            t = t[sel]
+            flat[base[t[:, 0]] + t[:, 1]] = t[:, 2]
+        assert (flat >= 0).all(), "segment member reassembly left holes"
+        members_full: list = [None] * G
+        for g in owned:
+            members_full[g] = flat[base[g]:base[g] + counts[g]]
+
+        sp = conflict_walk_sparse(index, pos, mvir, rvir, code, order,
+                                  members_full, comp=comp,
+                                  comp_sel=lambda r: np.isin(r, mine))
+
+        rows_all = transport.allgather_varlen(sp.rows)
+        vals_all = transport.allgather_varlen(np.stack(
+            [sp.igrp, sp.n_subsumed, sp.n_ignored], axis=1).ravel())
         for rows_p, vals_p in zip(rows_all, vals_all):
             v = vals_p.reshape(-1, 3)
             sel = (rows_p >= start) & (rows_p < start + count)
@@ -112,7 +271,7 @@ def dist_conflict_fn(start: int, count: int):
             nsub[loc] = v[sel, 1]
             nign[loc] = v[sel, 2]
 
-        own_a, mvir_a, rvir_a, sl_a, cnt_a = multihost_utils.process_allgather(
+        own_a, mvir_a, rvir_a, sl_a, cnt_a = transport.process_allgather(
             (sp.own.astype(np.uint8), sp.mvir, sp.rvir,
              sp.slurped_own.astype(np.uint8),
              np.array([sp.groups_removed, sp.groups_slurped], np.int32)))
@@ -486,7 +645,8 @@ def run_so_distributed(snapshot_path: str, catalog, params,
             vcm_fn=dist_vcm_fn(pset.vel * pset.mass[:, None], start),
             n_particles=n_global,
             stats_fn=dist_stats_fn(pset.mass, start),
-            conflict_fn=dist_conflict_fn(start, count))
+            conflict_fn=dist_conflict_fn(start, count),
+            member_filter=seg_member_filter(start, count))
 
     run.solve_seconds = _time.perf_counter() - t0
     if params.verbose and jax.process_index() == 0:

@@ -256,32 +256,145 @@ def test_segment_grid_pallas_payload_matches():
 
 def test_dist_conflict_fn_matches_serial_single_process():
     """parallel.driver.dist_conflict_fn with P=1 reproduces the serial
-    resolve_conflicts bit-for-bit, including with a restricted particle
-    segment (arrays then equal the dense slice)."""
+    resolve_conflicts bit-for-bit. Member lists are fed in the driver's
+    SEGMENTED form (seg_member_filter over each full list — with one
+    host the segment is the whole box; restricted multi-segment splits
+    are fuzzed by the threaded-hub test below), exercising the
+    per-segment edge discovery, local singleton tagging, and the
+    rank-scatter reassembly of multi-component lists."""
     from test_native import _random_case
 
     from so_tpu.engine.conflicts import resolve_conflicts
-    from so_tpu.parallel.driver import dist_conflict_fn
+    from so_tpu.parallel.driver import dist_conflict_fn, seg_member_filter
 
     rng = np.random.default_rng(31)
     args = _random_case(rng, n_groups=50)
     index, pos, mvir, rvir, code, order, members, n = args
     want = resolve_conflicts(*args)
 
-    for start, count in ((0, n), (n // 3, n // 2)):
-        got = dist_conflict_fn(start, count)(
-            index, pos, mvir, rvir, code, order, members, n)
-        assert (got.seg_start, got.seg_count, got.n_global) \
-            == (start, count, n)
-        sl = slice(start, start + count)
-        np.testing.assert_array_equal(got.igrp, want.igrp[sl])
-        np.testing.assert_array_equal(got.n_subsumed, want.n_subsumed[sl])
-        np.testing.assert_array_equal(got.n_ignored, want.n_ignored[sl])
-        np.testing.assert_array_equal(got.mvir, want.mvir)
-        np.testing.assert_array_equal(got.rvir, want.rvir)
-        np.testing.assert_array_equal(got.slurped_own, want.slurped_own)
-        assert (got.groups_removed, got.groups_slurped) \
-            == (want.groups_removed, want.groups_slurped)
+    filt = seg_member_filter(0, n)
+    members_seg = [None if m is None else filt(m) for m in members]
+    got = dist_conflict_fn(0, n)(
+        index, pos, mvir, rvir, code, order, members_seg, n)
+    assert (got.seg_start, got.seg_count, got.n_global) == (0, n, n)
+    np.testing.assert_array_equal(got.igrp, want.igrp)
+    np.testing.assert_array_equal(got.n_subsumed, want.n_subsumed)
+    np.testing.assert_array_equal(got.n_ignored, want.n_ignored)
+    np.testing.assert_array_equal(got.mvir, want.mvir)
+    np.testing.assert_array_equal(got.rvir, want.rvir)
+    np.testing.assert_array_equal(got.slurped_own, want.slurped_own)
+    assert (got.groups_removed, got.groups_slurped) \
+        == (want.groups_removed, want.groups_slurped)
+
+
+class _Hub:
+    """Barrier-synchronised value exchange for N virtual hosts running in
+    threads — stands in for the jax.distributed collectives so the
+    segmented conflict walk can be fuzzed across multi-host segment
+    configurations without spawning processes."""
+
+    def __init__(self, nproc):
+        import threading
+
+        self.nproc = nproc
+        self.slots = [None] * nproc
+        self.b1 = threading.Barrier(nproc)
+        self.b2 = threading.Barrier(nproc)
+
+    def exchange(self, pid, value):
+        self.slots[pid] = value
+        self.b1.wait(timeout=120)
+        out = list(self.slots)
+        self.b2.wait(timeout=120)
+        return out
+
+    def abort(self):
+        self.b1.abort()
+        self.b2.abort()
+
+
+class _ThreadTransport:
+    """dist_conflict_fn transport duck type over a _Hub."""
+
+    def __init__(self, hub, pid):
+        self.hub = hub
+        self.nproc = hub.nproc
+        self.pid = pid
+
+    def allgather_varlen(self, a):
+        return self.hub.exchange(self.pid, np.ascontiguousarray(a))
+
+    def process_allgather(self, tree):
+        vals = self.hub.exchange(self.pid, tuple(np.asarray(x)
+                                                 for x in tree))
+        return tuple(np.stack([v[i] for v in vals])
+                     for i in range(len(tree)))
+
+
+def test_dist_conflict_fn_multihost_threaded_fuzz():
+    """The SEGMENTED conflict walk (per-segment edge discovery, local
+    singleton tagging, rank-scatter reassembly, sparse result exchange)
+    over 2- and 3-host segment splits must reproduce the serial
+    resolve_conflicts bit-for-bit on random conflict graphs. Virtual
+    hosts run in threads over a barrier hub standing in for the
+    jax.distributed collectives."""
+    import threading
+
+    from test_native import _random_case
+
+    from so_tpu.engine.conflicts import resolve_conflicts
+    from so_tpu.parallel.driver import dist_conflict_fn, seg_member_filter
+
+    for seed in (5, 12, 77):
+        rng = np.random.default_rng(seed)
+        args = _random_case(rng, n_groups=60)
+        index, pos, mvir, rvir, code, order, members, n = args
+        want = resolve_conflicts(*args)
+
+        for nproc in (2, 3):
+            bounds = np.linspace(0, n, nproc + 1).astype(np.int64)
+            hub = _Hub(nproc)
+            results = [None] * nproc
+            errors = [None] * nproc
+
+            def run(pid):
+                try:
+                    start = int(bounds[pid])
+                    count = int(bounds[pid + 1]) - start
+                    filt = seg_member_filter(start, count)
+                    ms = [None if m is None else filt(m) for m in members]
+                    tr = _ThreadTransport(hub, pid)
+                    results[pid] = dist_conflict_fn(
+                        start, count, transport=tr)(
+                        index, pos, mvir, rvir, code, order, ms, n)
+                except BaseException as e:   # noqa: BLE001
+                    errors[pid] = e
+                    hub.abort()
+
+            threads = [threading.Thread(target=run, args=(p,))
+                       for p in range(nproc)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=180)
+            for e in errors:
+                assert e is None, f"virtual host failed: {e!r}"
+
+            np.testing.assert_array_equal(
+                np.concatenate([r.igrp for r in results]), want.igrp)
+            np.testing.assert_array_equal(
+                np.concatenate([r.n_subsumed for r in results]),
+                want.n_subsumed)
+            np.testing.assert_array_equal(
+                np.concatenate([r.n_ignored for r in results]),
+                want.n_ignored)
+            for r in results:     # per-group columns are host-replicated
+                np.testing.assert_array_equal(r.mvir, want.mvir)
+                np.testing.assert_array_equal(r.rvir, want.rvir)
+                np.testing.assert_array_equal(r.slurped_own,
+                                              want.slurped_own)
+                assert (r.groups_removed, r.groups_slurped) \
+                    == (want.groups_removed, want.groups_slurped)
 
 
 def test_int_array_text_length_exact_and_segment_write(tmp_path):

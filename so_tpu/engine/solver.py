@@ -388,11 +388,16 @@ BUCKET_MIN = 2048
 
 
 def _level_groups(grid, radii: np.ndarray, s_max: int, K: int,
-                  lam: float = 1.0):
+                  lam: float | None = None):
     """[(level, S, member-positions)] for one dispatch round: per-halo
     trap-avoiding levels (_bucket_levels) when the round is big enough to
     amortize extra dispatches, else the single legacy level. ``lam`` is
-    the measured local-density correction (_calibrate_lambda)."""
+    the measured local-density correction (_calibrate_lambda); the
+    default None reads the grid's cached calibration from the solve pass
+    (solve_rvir sets grid._lam_cache), so the members/derived/fused
+    passes bucket with the same measured density instead of λ=1."""
+    if lam is None:
+        lam = getattr(grid, "_lam_cache", None) or 1.0
     if radii.size >= BUCKET_MIN:
         lv = _bucket_levels(grid, radii, s_max, K, lam)
         out = []

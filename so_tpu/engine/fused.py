@@ -152,32 +152,81 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
     mvir = np.asarray(mvir, np.float32)
     grav32 = jnp.float32(grav)
 
-    if getattr(grid, "soa8t", None) is not None:
-        # slab footprint slack: each merged run wastes < 2*chunk slots to
-        # chunk alignment and a 2*Rvir ball at the chosen level covers at
-        # most S^3 cells, so S^3 * 2*chunk bounds the alignment waste —
-        # a blanket 8192 pushed every halo into a 4x-larger sort tier
-        _, S_est = _pick_level_span(grid, 2.0 * float(np.max(rvir)), s_max)
-        pad0 = int(min(8192, 2 * getattr(grid, "chunk", 256) * S_est ** 3))
-    else:
-        pad0 = 256
-    # capacity from the interior count alone: ~8x volume Rvir -> 2*Rvir
-    # plus margin. The solve's kcap hint is deliberately NOT a floor here
-    # (the 2*Rvir ball needs a different capacity than the solve ball, and
-    # flooring at the tier-2 K2 pushed ~200 mid-size halos per 16k batch
-    # into 4x-too-big XLA-fallback tiers); a rare underestimate costs one
-    # cached-retry dispatch via the overflow loop. Power-of-2 tiers: the
-    # pow-4 ladder skipped K=32768, the largest slab-path tier.
-    est = j * 12 + pad0
-    need_cap = 2 ** np.ceil(np.log2(np.maximum(est, 256))).astype(np.int64)
-    todo = np.arange(G)
-    guard = 0
-    # per-particle m*v (None when vcm_fn supplies segment-partial sums)
-    mvh = None if host_mv is None else np.asarray(host_mv, np.float32)
     import os
     import sys
     from time import perf_counter as _pc
     dbg = os.environ.get("SO_TPU_DEBUG")
+
+    if getattr(grid, "soa8t", None) is not None and stage_fn is None:
+        # EXACT per-halo slot footprints from one enumeration-only
+        # dispatch (solver._foot_stage: cell_ranges totals at the batch
+        # legacy level — no particle data touched). The previous model
+        # (12*j interior margin + an S^3 * 2*chunk alignment-slack
+        # BOUND) was dominated by the slack constant (8192 at S>=3), so
+        # every halo of the 2M bench landed in the K=16384 sort tier;
+        # measured footprints put most in K<=8192, and the sort is
+        # superlinear in K (docs/ROADMAP.md item 4). The probe level
+        # matches the legacy _level_groups choice; halos the bucketing
+        # moves to a finer level can overflow and pay one cached-retry
+        # dispatch, exactly like an underestimate did before.
+        from .solver import _foot_stage
+        g0, S0 = _pick_level_span(grid, 2.0 * float(np.max(rvir)), s_max)
+        Bp = _pad_b(G, 4096)
+        c_pad = np.zeros((Bp, 3), np.float32)
+        r_pad = np.full(Bp, 1e-30, np.float32)
+        c_pad[:G] = centers
+        r_pad[:G] = 2.0 * rvir
+        t0 = _pc() if dbg else 0.0
+        foot = np.asarray(_foot_stage(grid, g0, S0, jnp.asarray(c_pad),
+                                      jnp.asarray(r_pad)))[:G]
+        if dbg:
+            print(f"so_tpu[fused]: foot-probe level={g0} S={S0} n={G} "
+                  f"dt={(_pc() - t0) * 1e3:.1f}ms", file=sys.stderr,
+                  flush=True)
+        est = np.maximum(foot.astype(np.int64), 256)
+        merge_tiers = True
+    else:
+        merge_tiers = False
+        # capacity from the interior count alone: ~8x volume Rvir ->
+        # 2*Rvir plus margin (+ alignment slack on sharded slab paths,
+        # whose per-shard footprints the single-device probe can't see).
+        # The solve's kcap hint is deliberately NOT a floor here (the
+        # 2*Rvir ball needs a different capacity than the solve ball,
+        # and flooring at the tier-2 K2 pushed ~200 mid-size halos per
+        # 16k batch into 4x-too-big XLA-fallback tiers); a rare
+        # underestimate costs one cached-retry dispatch via the
+        # overflow loop. Power-of-2 tiers: the pow-4 ladder skipped
+        # K=32768, the largest slab-path tier.
+        if getattr(grid, "soa8t", None) is not None:
+            _, S_est = _pick_level_span(grid, 2.0 * float(np.max(rvir)),
+                                        s_max)
+            pad0 = int(min(8192, 2 * getattr(grid, "chunk", 256)
+                           * S_est ** 3))
+        else:
+            pad0 = 256
+        est = j * 12 + pad0
+    need_cap = 2 ** np.ceil(np.log2(np.maximum(est, 256))).astype(np.int64)
+    if merge_tiers:
+        # the pass is dispatch-count bound, not slot bound: each dispatch
+        # costs a measured ~80-115 ms of tunnel round-trip + packed fetch
+        # + host scatter regardless of K (bench anatomy, docs/RESULTS.md
+        # round 3), while extra slots cost ~1 ms per million (sort
+        # microbench). Promote a tier into the next one up while the
+        # extra B*dK slots are cheaper than a dispatch, capped at the
+        # slab VMEM ceiling so no halo is pushed onto the XLA fallback.
+        MERGE_SLOTS = 32 * 1024 * 1024
+        k_slab = (1 << 15) if not species else (1 << 14)
+        caps = np.unique(need_cap)
+        for c, nxt in zip(caps[:-1], caps[1:]):
+            if nxt > k_slab:
+                break
+            b = need_cap == c
+            if int(b.sum()) * int(nxt - c) < MERGE_SLOTS:
+                need_cap[b] = nxt
+    todo = np.arange(G)
+    guard = 0
+    # per-particle m*v (None when vcm_fn supplies segment-partial sums)
+    mvh = None if host_mv is None else np.asarray(host_mv, np.float32)
     while todo.size:
         guard += 1
         if guard > 64:

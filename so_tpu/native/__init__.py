@@ -63,6 +63,10 @@ def get_lib():
     lib.so_write_int_array_segment.restype = ctypes.c_int
     lib.so_write_int_array_segment.argtypes = [
         ctypes.c_char_p, i32p, ctypes.c_int64, ctypes.c_int64]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.so_stats_pass.restype = ctypes.c_int
+    lib.so_stats_pass.argtypes = [ctypes.c_int64, f32p, i32p, i32p, i32p,
+                                  f64p, i64p]
     _lib = lib
     return _lib
 
@@ -121,6 +125,31 @@ def conflict_pass_native(index, pos, mvir, rvir, code, order, members,
                 rvir=rvir, slurped_own=slurped_own.astype(bool),
                 groups_removed=int(counters[0]),
                 groups_slurped=int(counters[1]))
+
+
+def stats_pass_native(mass, igrp, n_subsumed, n_ignored):
+    """One-pass kdOutStats per-particle reductions (so_stats_pass);
+    returns (fout[5], iout[4]) or None if the library is unavailable.
+    fout: [cum_mass_sub, mass_sub, cum_mass_ign, mass_ign, particle_mass],
+    iout: [cum_sub, particles_sub, cum_ign, particles_ign]."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mass = np.ascontiguousarray(mass, np.float32)
+    igrp = np.ascontiguousarray(igrp, np.int32)
+    nsub = np.ascontiguousarray(n_subsumed, np.int32)
+    nign = np.ascontiguousarray(n_ignored, np.int32)
+    fout = np.zeros(5, np.float64)
+    iout = np.zeros(4, np.int64)
+    rc = lib.so_stats_pass(mass.shape[0], _ptr(mass, ctypes.c_float),
+                           _ptr(igrp, ctypes.c_int32),
+                           _ptr(nsub, ctypes.c_int32),
+                           _ptr(nign, ctypes.c_int32),
+                           _ptr(fout, ctypes.c_double),
+                           _ptr(iout, ctypes.c_int64))
+    if rc != 0:
+        raise RuntimeError(f"so_stats_pass failed: rc={rc}")
+    return fout, iout
 
 
 def write_int_array_native(path: str, values) -> bool:

@@ -234,3 +234,28 @@ int so_write_int_array(const char *path, const int32_t *vals, int64_t n)
     free(buf);
     return fclose(fp) ? -4 : rc;
 }
+
+/* One-pass run statistics (kdOutStats reductions, kd2.c:1334-1415):
+ * the per-particle sub/ign/tag sums fused into a single sweep with
+ * sequential f64 accumulation — the reference's own association — vs
+ * ~10 separate numpy passes that dominate the post-solve wall on
+ * memory-bandwidth-poor hosts at 10^7+ particles.
+ * fout: [cum_mass_sub, mass_sub, cum_mass_ign, mass_ign, particle_mass]
+ * iout: [cum_sub, n_sub_particles, cum_ign, n_ign_particles]          */
+int so_stats_pass(int64_t n, const float *mass, const int32_t *igrp,
+                  const int32_t *nsub, const int32_t *nign,
+                  double *fout, int64_t *iout)
+{
+    double cms = 0.0, ms = 0.0, cmi = 0.0, mi = 0.0, pm = 0.0;
+    int64_t cs = 0, ps = 0, ci = 0, pi = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        double m = (double)mass[i];
+        int32_t s = nsub[i], g = nign[i];
+        if (s) { cs += s; ps++; cms += m * (double)s; ms += m; }
+        if (g) { ci += g; pi++; cmi += m * (double)g; mi += m; }
+        if (igrp[i] > 0) pm += m;
+    }
+    fout[0] = cms; fout[1] = ms; fout[2] = cmi; fout[3] = mi; fout[4] = pm;
+    iout[0] = cs; iout[1] = ps; iout[2] = ci; iout[3] = pi;
+    return 0;
+}

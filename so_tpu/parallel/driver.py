@@ -522,12 +522,19 @@ def dist_stats_fn(mass_seg: np.ndarray, start: int):
             nsub = conflicts.n_subsumed[sl]
             nign = conflicts.n_ignored[sl]
             ig = conflicts.igrp[sl]
-        part = np.array([
-            nsub.sum(), (nsub > 0).sum(),
-            (m64 * nsub).sum(), m64[nsub > 0].sum(),
-            nign.sum(), (nign > 0).sum(),
-            (m64 * nign).sum(), m64[nign > 0].sum(),
-            m64[ig > 0].sum()], np.float64)
+        from ..native import stats_pass_native
+        nat = stats_pass_native(mass_seg, ig, nsub, nign)
+        if nat is not None:
+            f, i = nat
+            part = np.array([i[0], i[1], f[0], f[1], i[2], i[3], f[2],
+                             f[3], f[4]], np.float64)
+        else:
+            part = np.array([
+                nsub.sum(), (nsub > 0).sum(),
+                (m64 * nsub).sum(), m64[nsub > 0].sum(),
+                nign.sum(), (nign > 0).sum(),
+                (m64 * nign).sum(), m64[nign > 0].sum(),
+                m64[ig > 0].sum()], np.float64)
         tot = allgather_f64(part).sum(axis=0)
         return RunStats(
             cum_particles_subsumed=int(tot[0]),

@@ -40,6 +40,25 @@ class RunStats:
 def compute_stats(mass: np.ndarray, igrp: np.ndarray, n_subsumed: np.ndarray,
                   n_ignored: np.ndarray, mvir: np.ndarray,
                   groups_removed: int, groups_slurped: int) -> RunStats:
+    from .native import stats_pass_native
+
+    out = stats_pass_native(mass, igrp, n_subsumed, n_ignored)
+    if out is not None:
+        # single C sweep with sequential f64 accumulation (the
+        # reference's kdOutStats association, kd2.c:1334-1415) — ~10
+        # numpy passes cost multiple seconds at 10^7+ particles on
+        # memory-bandwidth-poor hosts
+        f, i = out
+        return RunStats(
+            cum_particles_subsumed=int(i[0]), particles_subsumed=int(i[1]),
+            cum_mass_subsumed=float(f[0]), mass_subsumed=float(f[1]),
+            cum_particles_ignored=int(i[2]), particles_ignored=int(i[3]),
+            cum_mass_ignored=float(f[2]), mass_ignored=float(f[3]),
+            groups_removed=int(groups_removed),
+            groups_slurped=int(groups_slurped),
+            particle_mass_sum=float(f[4]),
+            halo_mass_sum=float(np.maximum(mvir.astype(np.float64),
+                                           0.0).sum()))
     mass64 = mass.astype(np.float64)
     subbed = n_subsumed > 0
     ignored = n_ignored > 0

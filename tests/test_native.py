@@ -179,3 +179,40 @@ def test_component_pass_host_split_merges_exactly(nhosts):
     np.testing.assert_array_equal(rvir_m, want.rvir)
     np.testing.assert_array_equal(slurped, want.slurped_own)
     assert removed == want.groups_removed and ns == want.groups_slurped
+
+
+def test_native_stats_pass_matches_numpy():
+    """so_stats_pass (one C sweep) vs the numpy compute_stats fallback:
+    identical integer counters and f64 sums within summation-order
+    rounding (the %g output formatting absorbs far more)."""
+    import so_tpu.native as nat
+    from so_tpu.stats import compute_stats
+
+    rng = np.random.default_rng(9)
+    n = 200_001
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32) / n
+    igrp = rng.integers(-1, 50, n).astype(np.int32)
+    nsub = ((rng.uniform(size=n) < 0.05)
+            * rng.integers(1, 4, n)).astype(np.int32)
+    nign = (rng.uniform(size=n) < 0.1).astype(np.int32)
+    mvir = rng.uniform(-1, 1, 500).astype(np.float32)
+
+    a = compute_stats(mass, igrp, nsub, nign, mvir, 2, 1)
+    assert nat.get_lib() is not None
+    saved, nat._lib, nat._tried = nat._lib, None, True
+    try:
+        b = compute_stats(mass, igrp, nsub, nign, mvir, 2, 1)
+    finally:
+        nat._lib = saved
+    import dataclasses
+    for fld in dataclasses.fields(a):
+        va, vb = getattr(a, fld.name), getattr(b, fld.name)
+        if isinstance(va, int):
+            assert va == vb, fld.name
+        else:
+            np.testing.assert_allclose(va, vb, rtol=1e-12, err_msg=fld.name)
+
+    # all-zero conflict arrays: exact zeros either way
+    z = np.zeros(n, np.int32)
+    az = compute_stats(mass, igrp, z, z, mvir, 0, 0)
+    assert az.cum_mass_subsumed == 0.0 and az.mass_ignored == 0.0

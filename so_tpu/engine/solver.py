@@ -664,10 +664,18 @@ def _pad_chunk(part_size: int, K: int, centers, radii):
 # remote-tunnel round-trip cost (VERDICT r2 weak #1)
 DISPATCHES = 0
 
+# candidate distance evaluations issued (sum of B*K slot buffers per
+# dispatch, + B2*K2 for fused tier-2 blocks): every slot gets one d2
+# against its halo center, so this is the BASELINE.md secondary metric
+# "particle-distance evals/sec" numerator (experiments/scale512.py)
+EVAL_SLOTS = 0
+
 
 def _dbg_stage(name: str, t0: float, **kv):
-    global DISPATCHES
+    global DISPATCHES, EVAL_SLOTS
     DISPATCHES += 1
+    if "B" in kv and "K" in kv:
+        EVAL_SLOTS += kv["B"] * kv["K"] + kv.get("B2", 0) * kv.get("K2", 0)
     if os.environ.get("SO_TPU_DEBUG"):
         fields = " ".join(f"{k}={v}" for k, v in kv.items())
         print(f"so_tpu[solve]: {name} {fields} "
@@ -975,7 +983,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                         jnp.asarray(kl_pad), thr32)
                 arr = np.asarray(packed)
                 _dbg_stage("fused", t0, B=B, K=K, S=S, level=level, K2=K2,
-                           S2=S2, level2=level2, n=part.size)
+                           S2=S2, level2=level2, B2=B2, n=part.size)
                 ints1, flts1 = unpack_stage_out(arr[:part.size, :5])
                 p2 = arr[B:]
                 ids = p2[:, 5]

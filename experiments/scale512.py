@@ -67,12 +67,23 @@ def main():
     print(f"# scale512: n={n} halos={n_halos} "
           f"device={jax.devices()[0].device_kind}", flush=True)
 
-    rng = np.random.default_rng(12345)
+    cache = f"/tmp/so_scale_box_{n}_{n_halos}.npz"
     t0 = time.perf_counter()
-    pos, mass, vel, centers, rgtp = make_box(rng, n, n_halos)
-    print(f"gen: {time.perf_counter() - t0:.1f}s "
-          f"({pos.shape[0]} particles, {pos.nbytes / 2**30:.2f} GiB pos)",
-          flush=True)
+    if os.path.exists(cache):
+        d = np.load(cache)
+        pos, mass, vel = d["pos"], d["mass"], d["vel"]
+        centers, rgtp = d["centers"], d["rgtp"]
+        print(f"gen: loaded cache in {time.perf_counter() - t0:.1f}s "
+              f"({pos.shape[0]} particles)", flush=True)
+    else:
+        rng = np.random.default_rng(12345)
+        pos, mass, vel, centers, rgtp = make_box(rng, n, n_halos)
+        print(f"gen: {time.perf_counter() - t0:.1f}s "
+              f"({pos.shape[0]} particles, {pos.nbytes / 2**30:.2f} GiB pos)",
+              flush=True)
+        np.savez(cache, pos=pos, mass=mass, vel=vel, centers=centers,
+                 rgtp=rgtp)
+        print("gen: cached", flush=True)
 
     for tag in ("cold", "warm"):
         t0 = time.perf_counter()

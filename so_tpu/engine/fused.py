@@ -101,7 +101,7 @@ def _fused_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
 
 def members_and_derived(grid: CellGrid, centers: np.ndarray,
                         rvir: np.ndarray, d2cut: np.ndarray, j: np.ndarray,
-                        mvir: np.ndarray, host_mv: np.ndarray,
+                        mvir: np.ndarray, host_mv,
                         n_members: int = 8, species: tuple = (),
                         grav: float = 1.0, s_max: int = 11,
                         slot_budget: int = 1 << 25, stage_fn=None,
@@ -225,8 +225,10 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                 need_cap[b] = nxt
     todo = np.arange(G)
     guard = 0
-    # per-particle m*v (None when vcm_fn supplies segment-partial sums)
-    mvh = None if host_mv is None else np.asarray(host_mv, np.float32)
+    # per-particle m*v — dense or the lazy (vel, mass) pair (None when
+    # vcm_fn supplies segment-partial sums)
+    mvh = host_mv if host_mv is None or isinstance(host_mv, tuple) \
+        else np.asarray(host_mv, np.float32)
     while todo.size:
         guard += 1
         if guard > 64:

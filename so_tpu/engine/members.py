@@ -37,26 +37,38 @@ def vcm_from_members(mvh: np.ndarray, rows: np.ndarray, counts: np.ndarray,
 
     ``rows``: concatenated member original-indices (halo-major, ascending
     distance within each halo); ``counts``: per-halo lengths; ``mvh``:
-    per-particle m*v.
+    per-particle m*v, dense (N, 3) or the lazy ``(vel, mass)`` pair
+    (member_mv_sums forms the f32 products on member rows only).
     """
     sums = member_mv_sums(mvh, rows, counts)
     return (sums / np.maximum(np.asarray(mvir, np.float64)[:, None], 1e-300)
             ).astype(np.float32) * (np.asarray(counts, np.int64) > 0)[:, None]
 
 
-def member_mv_sums(mvh: np.ndarray, rows: np.ndarray,
-                   counts: np.ndarray) -> np.ndarray:
+def member_mv_sums(mvh, rows: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """(G, 3) f64 per-halo sequential sums of mvh over concatenated member
     rows — the reduction core of vcm_from_members, exposed separately so a
     multi-controller host can compute the partial over its own particle
-    segment (parallel.driver sums the per-host partials in host order)."""
+    segment (parallel.driver sums the per-host partials in host order).
+
+    ``mvh``: dense per-particle (N, 3) m*v, or the lazy ``(vel, mass)``
+    pair — then the f32 product is formed on the gathered member rows only
+    (bit-identical to pre-materializing m*v for all N: the elementwise IEEE
+    multiply commutes with the gather), saving an O(N) pass + allocation
+    per pipeline run on the host."""
     counts = np.asarray(counts, np.int64)
     G = counts.shape[0]
     sums = np.zeros((G, 3), np.float64)
     nz = counts > 0
     if nz.any():
+        if isinstance(mvh, tuple):
+            vel, mass = mvh
+            mv_rows = (np.asarray(vel, np.float32)[rows]
+                       * np.asarray(mass, np.float32)[rows, None])
+        else:
+            mv_rows = np.asarray(mvh, np.float32)[rows]
         seg_starts = (np.cumsum(counts) - counts)[nz]
-        sums[nz] = np.add.reduceat(mvh[rows].astype(np.float64), seg_starts,
+        sums[nz] = np.add.reduceat(mv_rows.astype(np.float64), seg_starts,
                                    axis=0)
     return sums
 
@@ -269,7 +281,9 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     if use_host_vcm:
         # group mean velocity from the member lists (_VcmParticles,
         # kd2.c:595-609) — shared accumulation order, see vcm_from_members
-        mvh = np.asarray(host_mv, np.float32)     # (n_particles, 3) m*v
+        # dense (n_particles, 3) m*v or the lazy (vel, mass) pair
+        mvh = host_mv if isinstance(host_mv, tuple) \
+            else np.asarray(host_mv, np.float32)
         counts = np.array([0 if lst is None else lst.size for lst in out],
                           np.int64)
         rows = (np.concatenate([lst for lst in out if lst is not None

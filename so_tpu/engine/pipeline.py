@@ -237,7 +237,7 @@ def _post_solve(grid, particles, catalog, centers, solve, params,
                 grid, centers[ok], solve.rvir[ok], solve.d2cut[ok],
                 solve.j[ok], solve.mvir[ok],
                 host_mv=(None if vcm_fn is not None
-                         else particles.vel * particles.mass[:, None]),
+                         else (particles.vel, particles.mass)),
                 n_members=params.n_members, species=tuple(params.species),
                 grav=params.grav, stage_fn=fused_fn, vcm_fn=vcm_fn,
                 member_filter=member_filter)

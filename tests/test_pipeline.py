@@ -81,6 +81,17 @@ def test_vcm_identical_across_member_paths():
     for a, b in zip(m_f, m_p):
         np.testing.assert_array_equal(np.sort(a), np.sort(b))
     np.testing.assert_array_equal(vcm_f, vcm_p)
+    # the lazy (vel, mass) form (what run_so passes) is bit-identical to
+    # the dense pre-materialized m*v — the f32 multiply commutes with the
+    # member-row gather
+    _, vcm_lazy, _ = members_and_derived(
+        grid, centers, solve.rvir, solve.d2cut, solve.j, solve.mvir,
+        host_mv=(data["vel"], data["mass"]))
+    np.testing.assert_array_equal(vcm_lazy, vcm_f)
+    _, vcm_lazy_p = extract_members(grid, centers, solve.d2cut, solve.j,
+                                    solve.mvir,
+                                    host_mv=(data["vel"], data["mass"]))
+    np.testing.assert_array_equal(vcm_lazy_p, vcm_p)
 
 
 def _conflict_inputs(igrp_members, positions, rvirs, codes, masses):

@@ -183,8 +183,8 @@ def choose_chunk(n_particles: int, m: int) -> int:
 SENTINEL_CODE = np.int32(1 << 30)
 
 
-@partial(jax.jit, static_argnames=("m",))
-def _build_device(m, lo, period, pos, mass, vel, phi, ptype, mark, valid=None):
+def _build_device_impl(m, lo, period, pos, mass, vel, phi, ptype, mark,
+                       valid=None):
     nc = 1 << m
     u = pos - lo
     u = u - jnp.floor(u / period) * period  # wrap to [0, period)
@@ -205,6 +205,18 @@ def _build_device(m, lo, period, pos, mass, vel, phi, ptype, mark, valid=None):
             mark[perm], perm.astype(jnp.int32), tuple(starts))
 
 
+_build_device = partial(jax.jit, static_argnames=("m",))(_build_device_impl)
+# the donating variant lets XLA alias/free the unsorted input buffers while
+# producing the sorted outputs — build-time HBM peak drops by roughly the
+# input footprint (~34 B/particle), which is what lets a 512^3-class
+# (1.34e8-particle) build fit a 16 GB v5e (the non-donated build OOM'd).
+# Used by build_grid only when it owns the device buffers (inputs arrived
+# as host arrays), so no caller-held jax.Array is invalidated.
+_build_device_donated = partial(jax.jit, static_argnames=("m",),
+                                donate_argnums=(3, 4, 5, 6, 7, 8))(
+                                    _build_device_impl)
+
+
 def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
                period=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0),
                m: int | None = None, pallas: bool | None = None) -> CellGrid:
@@ -214,6 +226,10 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     (defaults period=1^3, center=0^3; so.c:241-244).
     ``pallas``: also build the slab-gather SoA payload (default: on TPU).
     """
+    # donation is safe only for buffers created here (host inputs) — a
+    # caller-held jax.Array would be invalidated by donating it
+    owned = all(a is None or not isinstance(a, jax.Array)
+                for a in (pos, mass, vel, phi, ptype, mark))
     pos = jnp.asarray(pos, jnp.float32)
     n = pos.shape[0]
     has_phi = phi is not None
@@ -227,7 +243,9 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     lo = center - period * 0.5
     if m is None:
         m = choose_m(n)
-    out = _build_device(m, lo, period, pos, mass, vel, phi, ptype, mark)
+    build = (_build_device_donated
+             if owned and jax.default_backend() != "cpu" else _build_device)
+    out = build(m, lo, period, pos, mass, vel, phi, ptype, mark)
     # free the unsorted device inputs before packing the payload — at
     # 512^3-class sizes the build-time HBM peak is what limits a single
     # chip (docs/RESULTS.md round-3 memory budget)
@@ -244,10 +262,16 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
             pallas = jax.default_backend() not in ("cpu",)
     if pallas:
         from .pallas_gather import pack_soa8t
-        grid.soa8t = jax.jit(pack_soa8t, static_argnames=("chunk",))(
-            grid.pos, grid.mass, grid.vel, grid.ptype, grid.mark,
-            chunk=grid.chunk)
-        if os.environ.get("SO_TPU_DEDUP", "1") != "0":
+        dedup = os.environ.get("SO_TPU_DEDUP", "1") != "0"
+        # when dedup drops the sorted arrays right after packing, donate
+        # them into the pack: the payload write can then reuse their HBM
+        # (pack-time peak ~37 B/particle instead of ~69)
+        pack = jax.jit(pack_soa8t, static_argnames=("chunk",),
+                       donate_argnums=(0, 1, 2, 3, 4) if dedup
+                       and jax.default_backend() != "cpu" else ())
+        grid.soa8t = pack(grid.pos, grid.mass, grid.vel, grid.ptype,
+                          grid.mark, chunk=grid.chunk)
+        if dedup:
             # the payload encodes pos/mass/vel/ptype/mark bit-exactly —
             # drop the duplicates (XLA frees the buffers); rare fallback
             # paths reconstruct via the *_a() accessors

@@ -6,7 +6,10 @@ Runs, each in a FRESH subprocess (platform/jit state is sticky):
      device (Pallas slab path + fused escalation + conflict protocol);
   2. scripts/compare_reference_scale.py — at-scale (2M/4096 default)
      output parity + wall-time comparison against the freshly compiled
-     reference binary.
+     reference binary;
+  3. scripts/compare_reference_zoom.py — at-scale zoom-in multi-species
+     parity (hi-res gas/dark/star clumps in a heavy lo-res background,
+     the BASELINE.md ladder config the dark-only boxes don't cover).
 
 and appends a dated pass/fail + timing block to RESULTS_TPU.md, so every
 round leaves a committed on-device parity artifact instead of run-by-hand
@@ -53,6 +56,11 @@ def main(argv):
             ("reference_scale",
              [sys.executable, os.path.join(HERE,
                                            "compare_reference_scale.py")],
+             3600))
+        stages.append(
+            ("reference_zoom",
+             [sys.executable, os.path.join(HERE,
+                                           "compare_reference_zoom.py")],
              3600))
 
     import jax   # device identity only; stages run in fresh processes

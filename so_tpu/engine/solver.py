@@ -116,7 +116,14 @@ def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int):
 
     jm1 = jnp.maximum(jstar - 1, 0)
     rows = jnp.arange(B)
-    mvir = cum[rows, jm1]
+    # Mvir is NOT the plain prefix sum: the reference adds the j* particle
+    # and subtracts it again (kd2.c:810-818 `mass -= nnList[j]`), so
+    # fMvir = fl(fl(cum[j*-1] + m_j*) - m_j*) — one ulp above cum[j*-1]
+    # whenever the add rounds up. That ulp is observable: the quarter/half
+    # mass radii (kd2.c:537-546) compare 0.25·fMvir against the same serial
+    # sums, and a crossing that lands exactly on a particle boundary (equal
+    # masses, count divisible by 4) picks the slot by that last ulp.
+    mvir = cum[rows, jstar] - mass_s[rows, jstar]
     d2cut = d2_s[rows, jm1]
     # Rvir derived from Mvir, not a particle distance (kd2.c:816-819)
     rvir = jnp.cbrt(mvir / (FOUR_THIRDS_PI * thr))

@@ -16,7 +16,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from fixtures import make_clumpy_box, write_snapshot, write_gtp  # noqa: E402
+from fixtures import (make_clumpy_box, make_zoom_box, write_snapshot,  # noqa: E402
+                      write_gtp)
 
 
 def _basic(outdir, standard=False):
@@ -164,6 +165,19 @@ def _period_axes(outdir):
               [0.07, 0.05], [0.25, 0.1], time=1.0)
 
 
+def _zoom(outdir):
+    # zoom-in multi-species regime (BASELINE.md scale ladder): hi-res
+    # gas/dark/star clumps in a heavy lo-res dark background — particle
+    # masses span ~2 orders of magnitude across the iOrder species
+    # windows, so serial-f32 mass accumulations mix unequal addends
+    # (this regime caught the Mvir add-then-subtract ulp, kd2.c:810-818)
+    rng = np.random.default_rng(1789)
+    data, split, centers, rmax = make_zoom_box(rng, 20000, 4000, 32)
+    write_snapshot(f"{outdir}/snap.bin", data, time=1.0, split=split)
+    write_gtp(f"{outdir}/cat.gtp", centers, rmax,
+              rng.uniform(0.001, 1.0, centers.shape[0]), time=1.0)
+
+
 SCENARIOS = {
     # name: (generator, reference CLI args after -i/-o, needs_std_io)
     "basic": (_basic, ["-grp", "-gtp", "-subsumed", "-ignored", "-all"], False),
@@ -188,6 +202,7 @@ SCENARIOS = {
                   ["-std", "-delta", "500", "-u", "2.2e16", "50",
                    "-grp", "-gtp"], True),
     "slurp": (_slurp, ["-grp", "-gtp", "-subsumed", "-ignored"], False),
+    "zoom": (_zoom, ["-all", "-grp", "-gtp", "-subsumed", "-ignored"], False),
     "ties": (_ties, ["-grp", "-subsumed", "-ignored"], False),
     "period": (_period, ["-p", "2.0", "-c", "1.0", "-grp"], False),
     # per-axis centers (-cx/-cy/-cz, so.c:338-360) with a boundary clump,

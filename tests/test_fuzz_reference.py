@@ -18,9 +18,11 @@ import pytest
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
-from fixtures import make_clumpy_box, write_gtp, write_snapshot  # noqa: E402
+from fixtures import (make_clumpy_box, make_zoom_box, write_gtp,  # noqa: E402
+                      write_snapshot)
 from make_goldens import REFERENCE_SRC, build_reference  # noqa: E402
-from util_compare import compare_exact_file, compare_file  # noqa: E402
+from util_compare import (compare_exact_file, compare_file,  # noqa: E402
+                          compare_sogtp)
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REFERENCE_SRC), reason="reference sources unavailable")
@@ -32,7 +34,7 @@ def so_bin(tmp_path_factory):
     return build_reference(d)
 
 
-def _run_both(so_bin, work, ref_args, tpu_args=None):
+def _run_both(so_bin, work, ref_args, tpu_args=None, standard=False):
     """Run the live reference and so_tpu on work/{snap.bin,cat.gtp} and
     compare every produced output file."""
     with open(f"{work}/snap.bin", "rb") as snap:
@@ -54,6 +56,9 @@ def _run_both(so_bin, work, ref_args, tpu_args=None):
     for ext in ("sogrp", "sosub", "soign"):
         if os.path.exists(f"{work}/ref.{ext}"):
             errs += compare_exact_file(f"{work}/ref.{ext}", f"{work}/got.{ext}")
+    if os.path.exists(f"{work}/ref.sogtp"):
+        errs += compare_sogtp(f"{work}/ref.sogtp", f"{work}/got.sogtp",
+                              standard)
     return errs
 
 
@@ -145,7 +150,28 @@ def test_fuzz_modes(so_bin, mode, seed_off, tmp_path):
     write_gtp(f"{work}/cat.gtp", centers, rgtp, masses, time=1.0,
               standard=cfg.get("standard", False))
     errs = _run_both(so_bin, work, cfg["args"],
-                     tpu_args=cfg["args"] + cfg.get("tpu_extra", []))
+                     tpu_args=cfg["args"] + cfg.get("tpu_extra", []),
+                     standard=cfg.get("standard", False))
+    assert not errs, "\n".join(errs[:8])
+
+
+@pytest.mark.parametrize("seed", [
+    1101, pytest.param(1202, marks=pytest.mark.slow),
+    pytest.param(1303, marks=pytest.mark.slow)])
+def test_fuzz_zoom_multispecies(so_bin, seed, tmp_path):
+    """Zoom-in multi-species regime (BASELINE.md scale ladder): hi-res
+    gas/dark/star clumps embedded in a heavy lo-res background — particle
+    masses span ~2 orders of magnitude across the iOrder species windows,
+    so density scans are dominated by rare heavyweight hits. At-scale
+    counterpart: scripts/compare_reference_zoom.py."""
+    rng = np.random.default_rng(seed)
+    data, split, centers, rmax = make_zoom_box(rng, 30000, 6000, 48)
+    work = str(tmp_path)
+    write_snapshot(f"{work}/snap.bin", data, time=1.0, split=split)
+    write_gtp(f"{work}/cat.gtp", centers, rmax,
+              rng.uniform(0.001, 1.0, centers.shape[0]), time=1.0)
+    errs = _run_both(so_bin, work,
+                     ["-all", "-grp", "-gtp", "-subsumed", "-ignored"])
     assert not errs, "\n".join(errs[:8])
 
 

@@ -46,15 +46,35 @@ class DerivedResult:
 
 
 def derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir, mvir,
-                        fball, n_members: int, species: tuple, grav):
+                        fball, n_members: int, species: tuple, grav,
+                        uniform_m: float | None = None):
     """All kdVcirc/kdMassProfile quantities from distance-sorted hits —
-    shared by the single-device stage and the shard_map merge path."""
+    shared by the single-device stage and the shard_map merge path.
+
+    ``uniform_m``: when every particle mass is the same f32 value,
+    ``mass_s`` may be None — cumulative masses are the shared serial-f32
+    ladder (solver._mass_ladder), so callers drop the mass gather channel
+    and the distance sort loses one operand. Species profiles then sample
+    the ladder at exact integer selection counts (adding 0.0 never changes
+    a serial f32 accumulator, so sum(m over selected prefix) ==
+    ladder[count-1] bit-for-bit)."""
     B, K = d2_s.shape
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     valid = slot < n_in[:, None]
-    # C-order float32 accumulation (kd2.c:521, 543) — see ops/seqsum.py
-    cum = seq_cumsum(mass_s, axis=1)
     rows = jnp.arange(B)
+    use_ladder = False
+    if uniform_m is not None:
+        from .solver import _LADDER_KMAX, _mass_ladder
+        use_ladder = K <= _LADDER_KMAX
+        if not use_ladder:       # giant tier: in-program constant mass row
+            mass_s = jnp.where(valid, jnp.float32(uniform_m), 0.0)
+    if use_ladder:
+        lad = jnp.asarray(_mass_ladder(uniform_m, K))
+        last = jnp.where(n_in > 0, lad[jnp.maximum(n_in - 1, 0)], 0.0)
+        cum = jnp.where(valid, lad[None, :], last[:, None])
+    else:
+        # C-order float32 accumulation (kd2.c:521, 543) — see ops/seqsum.py
+        cum = seq_cumsum(mass_s, axis=1)
 
     def cum_at(counts, c):
         return jnp.where(counts > 0, c[rows, jnp.maximum(counts - 1, 0)], 0.0)
@@ -97,16 +117,27 @@ def derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir, mvir,
 
     # species mass profiles (kdMassProfile, kd2.c:458-496)
     profs = {}
+    bin_cnts = []                          # shared across species
+    for i in range(NMASSPROFILE - 1):
+        f = jnp.float32((i + 1) * (2.0 / NMASSPROFILE))
+        r = f * rvir
+        bin_cnts.append((valid & (d2_s < (r * r)[:, None])).sum(axis=1))
+    bin_cnts.append(n_in)                  # last bin: everything <= 2 Rvir
     for sp in species:
         sel = mark_s if sp == MARK else (ptype_s == sp)
-        cumsp = seq_cumsum(jnp.where(sel, mass_s, 0.0), axis=1)
-        bins = []
-        for i in range(NMASSPROFILE - 1):
-            f = jnp.float32((i + 1) * (2.0 / NMASSPROFILE))
-            r = f * rvir
-            cnt = (valid & (d2_s < (r * r)[:, None])).sum(axis=1)
-            bins.append(cum_at(cnt, cumsp))
-        bins.append(cum_at(n_in, cumsp))   # last bin: everything <= 2 Rvir
+        if use_ladder:
+            # ladder at the exact int count of selected hits in the prefix
+            selcnt = jnp.cumsum((sel & valid).astype(jnp.int32), axis=1)
+
+            def sp_at(cnt, selcnt=selcnt):
+                sc = jnp.where(cnt > 0,
+                               selcnt[rows, jnp.maximum(cnt - 1, 0)], 0)
+                return jnp.where(sc > 0, lad[jnp.maximum(sc - 1, 0)], 0.0)
+
+            bins = [sp_at(cnt) for cnt in bin_cnts]
+        else:
+            cumsp = seq_cumsum(jnp.where(sel, mass_s, 0.0), axis=1)
+            bins = [cum_at(cnt, cumsp) for cnt in bin_cnts]
         profs[sp] = jnp.stack(bins, axis=1)
 
     return dict(vcirc=vcirc, rmass=rmass, rmax=rmax, vmax=vmax,
@@ -118,13 +149,21 @@ def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
                    species: tuple, centers, rvir, mvir, grav):
     fball = jnp.float32(2.0) * rvir
     fball2 = fball * fball
+    um = grid.uniform_mass
     if grid.soa8t is not None:
+        chans = (() if um is not None else ("mass",)) \
+            + (("meta",) if species else ())
         sg = slab_gather(grid, level, centers, fball, fball2, K, S,
-                         channels=("mass", "meta"))
-        d2_s, mass_s = sg.d2, sg.channels[0]
-        meta = sg.channels[1].astype(jnp.int32)
-        ptype_s = meta & 0xF
-        mark_s = (meta >> 4) > 0
+                         channels=chans)
+        d2_s = sg.d2
+        mass_s = None if um is not None else sg.channels[0]
+        if species:
+            meta = sg.channels[-1].astype(jnp.int32)
+            ptype_s = meta & 0xF
+            mark_s = (meta >> 4) > 0
+        else:
+            ptype_s = jnp.zeros_like(d2_s, jnp.int32)
+            mark_s = jnp.zeros_like(d2_s, bool)
         n_in, overflow = sg.n_in, sg.overflow
     else:
         g = ragged_ball_gather(grid, level, centers, fball, fball2, K, S,
@@ -132,12 +171,14 @@ def _derived_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
         slot0 = jnp.arange(K, dtype=jnp.int32)[None, :]
         valid = slot0 < g.n_in[:, None]
         d2_s = g.d2
-        mass_s = jnp.where(valid, grid.mass_a()[g.idx], 0.0)
+        mass_s = None if um is not None \
+            else jnp.where(valid, grid.mass_a()[g.idx], 0.0)
         ptype_s = grid.ptype_a()[g.idx]
         mark_s = grid.mark_a()[g.idx] & valid
         n_in, overflow = g.n_in, g.overflow
     out = derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir,
-                              mvir, fball, n_members, species, grav)
+                              mvir, fball, n_members, species, grav,
+                              uniform_m=um)
     # one fetch-friendly (B, 13 + 16*nspecies) f32 block — each separate
     # np.asarray costs a ~25 ms round-trip over a remote-device tunnel:
     # [overflow, vcirc(8), rmass(2), rmax, vmax, profiles(16)...]

@@ -48,16 +48,19 @@ def _fused_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
     fball2 = fball * fball
     B = centers.shape[0]
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+    um = grid.uniform_mass
     if grid.soa8t is not None:
-        # meta feeds only the species profiles — dropping it when no
-        # species are requested (the common case) takes one operand out of
-        # the K-wide sort
-        chans = ("mass", "meta", "idx") if species else ("mass", "idx")
+        # meta feeds only the species profiles and mass only the general
+        # (non-uniform) cumulative sums — dropping either takes one operand
+        # out of the K-wide sort
+        chans = (() if um is not None else ("mass",)) \
+            + (("meta",) if species else ()) + ("idx",)
         sg = slab_gather(grid, level, centers, fball, fball2, K, S,
                          channels=chans)
-        d2_s, mass_s = sg.d2, sg.channels[0]
+        d2_s = sg.d2
+        mass_s = None if um is not None else sg.channels[0]
         if species:
-            meta = sg.channels[1].astype(jnp.int32)
+            meta = sg.channels[-2].astype(jnp.int32)
             ptype_s, mark_s = meta & 0xF, (meta >> 4) > 0
         else:
             ptype_s = jnp.zeros_like(d2_s, jnp.int32)
@@ -69,14 +72,16 @@ def _fused_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
                                sort=True)
         valid = slot < g.n_in[:, None]
         d2_s = g.d2
-        mass_s = jnp.where(valid, grid.mass_a()[g.idx], 0.0)
+        mass_s = None if um is not None \
+            else jnp.where(valid, grid.mass_a()[g.idx], 0.0)
         ptype_s = grid.ptype_a()[g.idx]
         mark_s = grid.mark_a()[g.idx] & valid
         srow = jnp.where(valid, g.idx, -1)
         n_in, overflow = g.n_in, g.overflow
 
     der = derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir,
-                              mvir, fball, n_members, species, grav)
+                              mvir, fball, n_members, species, grav,
+                              uniform_m=um)
 
     # interior members: first j sorted rows (kdTagParticles walk order) —
     # a contiguous PREFIX of each sorted row, so the dense member vector

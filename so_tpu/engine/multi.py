@@ -43,18 +43,25 @@ class MultiSolveResult:
 @partial(jax.jit, static_argnames=("level", "K", "S", "n_members", "T"))
 def _multi_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
                  T: int, centers, radii, thresholds):
+    um = grid.uniform_mass
     if grid.soa8t is not None:
         g = slab_gather(grid, level, centers, radii, radii * radii, K, S,
-                        channels=("mass",))
-        d2_s, mass_s, n_in, ovf = g.d2, g.channels[0], g.n_in, g.overflow
+                        channels=() if um is not None else ("mass",))
+        mass_s = None if um is not None else g.channels[0]
+        d2_s, n_in, ovf = g.d2, g.n_in, g.overflow
     else:
         g = ragged_ball_gather(grid, level, centers, radii, radii * radii,
                                K, S, sort=True)
-        slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-        mass_s = jnp.where(slot < g.n_in[:, None], grid.mass_a()[g.idx], 0.0)
+        if um is not None:
+            mass_s = None
+        else:
+            slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+            mass_s = jnp.where(slot < g.n_in[:, None],
+                               grid.mass_a()[g.idx], 0.0)
         d2_s, n_in, ovf = g.d2, g.n_in, g.overflow
 
-    outs = [scan_sorted(d2_s, mass_s, None, n_in, thresholds[t], n_members)
+    outs = [scan_sorted(d2_s, mass_s, None, n_in, thresholds[t], n_members,
+                        uniform_m=um)
             for t in range(T)]
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     # one fetch-friendly (T+1, B, 5) i32 block: rows [:T] are per-threshold

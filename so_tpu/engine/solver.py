@@ -35,7 +35,7 @@ tiers (mirroring the reference's own regrow loop, but batched).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import os
 import sys
@@ -94,14 +94,47 @@ def ladder_radius(rgtp: np.ndarray, k: np.ndarray) -> np.ndarray:
 # Stage kernel (device)
 # ---------------------------------------------------------------------------
 
-def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int):
+# ladder constants above this K would bloat the jitted program (the giant
+# XLA-fallback tier reaches K ~ the particle count); larger uniform stages
+# synthesize the constant mass row in-program and seq-scan it instead —
+# still no gather channel, identical bits (same serial f32 order)
+_LADDER_KMAX = 1 << 17
+
+
+@lru_cache(maxsize=32)
+def _mass_ladder(m: float, K: int) -> np.ndarray:
+    """Serial-f32 cumulative sums of K copies of m. np.cumsum is
+    ufunc.accumulate, whose semantics are the sequential r[i] = r[i-1]+a[i]
+    — the same left-associated f32 order as the C accumulator and
+    ops/seqsum.py (asserted in tests/test_solver.py)."""
+    return np.cumsum(np.full(K, np.float32(m), np.float32))
+
+
+def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int,
+                uniform_m: float | None = None):
     """The density scan over distance-sorted hits (shared by the single- and
     multi-device paths). ``mass_s`` must be zero on invalid slots.
-    ``vel_s`` may be None (vcm is then computed later, in the member pass)."""
+    ``vel_s`` may be None (vcm is then computed later, in the member pass).
+
+    ``uniform_m``: when every particle mass is the same f32 value,
+    ``mass_s`` may be None — the sorted cumulative mass is then the same
+    serial ladder for every halo (padding zeros never change a serial f32
+    accumulator), so callers skip the mass gather channel and the distance
+    sort drops to one operand (~35 -> 22 ms at B=16384/K=4096 on v5e)."""
     B, K = d2_s.shape
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-    # C-order float32 accumulation (kd2.c:807) — see ops/seqsum.py
-    cum = seq_cumsum(mass_s, axis=1)
+    if uniform_m is not None and K <= _LADDER_KMAX:
+        # cum(i) = ladder[min(i, n_in-1)] without a (B,K) gather: broadcast
+        # the ladder where the slot is live, else the row's frozen total
+        lad = jnp.asarray(_mass_ladder(uniform_m, K))
+        last = jnp.where(n_in > 0, lad[jnp.maximum(n_in - 1, 0)], 0.0)
+        cum = jnp.where(slot < n_in[:, None], lad[None, :], last[:, None])
+    elif uniform_m is not None:
+        mass_s = jnp.where(slot < n_in[:, None], jnp.float32(uniform_m), 0.0)
+        cum = seq_cumsum(mass_s, axis=1)
+    else:
+        # C-order float32 accumulation (kd2.c:807) — see ops/seqsum.py
+        cum = seq_cumsum(mass_s, axis=1)
 
     # rho(i) = cum(i) / ((4/3) pi d2^(3/2)) — rhoEnclosed (kd2.c:588-593)
     r3 = d2_s * jnp.sqrt(d2_s)
@@ -123,13 +156,17 @@ def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int):
     # mass radii (kd2.c:537-546) compare 0.25·fMvir against the same serial
     # sums, and a crossing that lands exactly on a particle boundary (equal
     # masses, count divisible by 4) picks the slot by that last ulp.
-    mvir = cum[rows, jstar] - mass_s[rows, jstar]
+    m_at_jstar = (jnp.float32(uniform_m) if uniform_m is not None
+                  else mass_s[rows, jstar])
+    mvir = cum[rows, jstar] - m_at_jstar
     d2cut = d2_s[rows, jm1]
     # Rvir derived from Mvir, not a particle distance (kd2.c:816-819)
     rvir = jnp.cbrt(mvir / (FOUR_THIRDS_PI * thr))
 
     # group mean velocity over the j interior particles (_VcmParticles,
     # kd2.c:595-609) — mass-weighted over sorted prefix [0, jstar)
+    if vel_s is not None and mass_s is None:
+        raise ValueError("vcm needs per-slot masses; pass mass_s")
     if vel_s is not None:
         interior = slot < jstar[:, None]
         w = jnp.where(interior, mass_s, 0.0)
@@ -210,9 +247,12 @@ def _solve_stage_fused(grid: CellGrid, level: int, K: int, S: int,
     in sequence, so the escalation semantics are identical to two
     dispatched rounds (kd2.c:745-839 staging)."""
     B = centers.shape[0]
+    um = grid.uniform_mass
+    chans = () if um is not None else ("mass",)
     g = slab_gather(grid, level, centers, radii, radii * radii, K, S,
-                    channels=("mass",))
-    out1 = scan_sorted(g.d2, g.channels[0], None, g.n_in, thr, n_members)
+                    channels=chans)
+    out1 = scan_sorted(g.d2, None if um is not None else g.channels[0],
+                       None, g.n_in, thr, n_members, uniform_m=um)
     out1.update(n_in=g.n_in, overflow=g.overflow)
     p1 = pack_stage_out(out1)
 
@@ -224,8 +264,9 @@ def _solve_stage_fused(grid: CellGrid, level: int, K: int, S: int,
         n_members)
 
     g2 = slab_gather(grid, level2, c2, r2, r2 * r2, K2, S2,
-                     channels=("mass",))
-    out2 = scan_sorted(g2.d2, g2.channels[0], None, g2.n_in, thr, n_members)
+                     channels=chans)
+    out2 = scan_sorted(g2.d2, None if um is not None else g2.channels[0],
+                       None, g2.n_in, thr, n_members, uniform_m=um)
     out2.update(n_in=g2.n_in, overflow=g2.overflow)
     p2 = jnp.concatenate(
         [pack_stage_out(out2),
@@ -257,6 +298,7 @@ def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
     kk = min(K, max(16, n_members + 2))   # top_k k must not exceed K;
     #                                       a clamped window simply defers
     #                                       -2 to the full solve
+    um = grid.uniform_mass
     if grid.soa8t is not None:
         from ..ops.gather import cell_ranges
         from ..ops.pallas_gather import pallas_slab_gather
@@ -265,20 +307,28 @@ def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
         st, cnt, q, total = cell_ranges(grid, level, centers, radii, r2, S,
                                         align=grid.chunk)
         out = pallas_slab_gather(grid.soa8t, st, cnt, q, centers,
-                                 grid.period, r2, K, chans=("mass",),
+                                 grid.period, r2, K,
+                                 chans=() if um is not None else ("mass",),
                                  CHUNK=grid.chunk)
         d2 = out[:, 0]
-        mass = out[:, 1]
+        mass = None if um is not None else out[:, 1]
         overflow = total > K
     else:
         g = ragged_ball_gather(grid, level, centers, radii, radii * radii,
                                K, S, sort=False)
         ok = jnp.isfinite(g.d2)
         d2 = jnp.where(ok, g.d2, jnp.inf)
-        mass = jnp.where(ok, grid.mass_a()[g.idx], 0.0)
+        mass = None if um is not None \
+            else jnp.where(ok, grid.mass_a()[g.idx], 0.0)
         overflow = g.overflow
     n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
-    d2k, mk = _classify_prefix(d2, mass, kk)
+    if um is not None:
+        # the kk-nearest masses are all m on live slots, 0 on pad slots
+        d2k = -jax.lax.top_k(-d2, kk)[0]
+        mk = jnp.where(jnp.arange(kk, dtype=jnp.int32)[None, :]
+                       < n_in[:, None], jnp.float32(um), 0.0)
+    else:
+        d2k, mk = _classify_prefix(d2, mass, kk)
     return _classify_verdict(d2k, mk, n_in, overflow, thresholds, T,
                              n_members)
 
@@ -339,18 +389,28 @@ def _solve_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
     Returns packed (ints, floats) per halo — see pack_stage_out. n_in
     feeds the -1 check; vcm comes later from the member pass.
     """
+    um = grid.uniform_mass
     if grid.soa8t is not None:
-        # Pallas slab path: (d2, mass) come pre-extracted at HBM bandwidth
+        # Pallas slab path: (d2, mass) come pre-extracted at HBM bandwidth;
+        # uniform-mass grids skip the mass channel — the cum ladder is
+        # shared and the distance sort drops to one operand
+        chans = () if um is not None else ("mass",)
         g = slab_gather(grid, level, centers, radii, radii * radii, K, S,
-                        channels=("mass",))
-        out = scan_sorted(g.d2, g.channels[0], None, g.n_in, thr, n_members)
+                        channels=chans)
+        mass_s = None if um is not None else g.channels[0]
+        out = scan_sorted(g.d2, mass_s, None, g.n_in, thr, n_members,
+                          uniform_m=um)
     else:
         g = ragged_ball_gather(grid, level, centers, radii, radii * radii,
                                K, S, sort=True)
-        slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-        valid = slot < g.n_in[:, None]
-        mass_s = jnp.where(valid, grid.mass_a()[g.idx], 0.0)
-        out = scan_sorted(g.d2, mass_s, None, g.n_in, thr, n_members)
+        if um is not None:
+            mass_s = None
+        else:
+            slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+            valid = slot < g.n_in[:, None]
+            mass_s = jnp.where(valid, grid.mass_a()[g.idx], 0.0)
+        out = scan_sorted(g.d2, mass_s, None, g.n_in, thr, n_members,
+                          uniform_m=um)
     out.update(n_in=g.n_in, overflow=g.overflow)
     return pack_stage_out(out)
 

@@ -81,6 +81,14 @@ class CellGrid:
     chunk: int = 256            # static: slab DMA chunk of the payload;
     #                             also sets the occupancy floor of the
     #                             level selection (solver._pick_level)
+    uniform_mass: float | None = None  # static: the single mass value when
+    #                             every particle's f32 mass is bit-identical
+    #                             (plain N-body boxes). Solve stages then
+    #                             skip the mass channel entirely: the sorted
+    #                             cumulative mass is the same serial-f32
+    #                             ladder for every halo (adding zeros never
+    #                             changes a serial accumulator), so the
+    #                             distance sort drops to one operand.
 
     @property
     def n(self) -> int:
@@ -130,12 +138,12 @@ class CellGrid:
         children = (self.lo, self.period, self.pos, self.mass, self.vel,
                     self.phi, self.ptype, self.mark, self.orig_idx,
                     self.starts, self.soa8t)
-        return children, (self.m, self.chunk)
+        return children, (self.m, self.chunk, self.uniform_mass)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        m, chunk = aux
-        return cls(m, *children, chunk=chunk)
+        m, chunk, uniform_mass = aux
+        return cls(m, *children, chunk=chunk, uniform_mass=uniform_mass)
 
 
 def choose_m(n_particles: int, target_occupancy: int = 24, m_max: int = 9) -> int:
@@ -233,6 +241,15 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     pos = jnp.asarray(pos, jnp.float32)
     n = pos.shape[0]
     has_phi = phi is not None
+    # uniform-mass detection (host arrays only — never fetch a device
+    # buffer): one memcmp-speed pass; bit-equality is the contract the
+    # solve's ladder shortcut needs (see CellGrid.uniform_mass)
+    um = None
+    if (not isinstance(mass, jax.Array)
+            and os.environ.get("SO_TPU_UNIFORM", "1") != "0"):
+        m_np = np.asarray(mass, np.float32)
+        if m_np.size and bool((m_np == m_np.flat[0]).all()):
+            um = float(m_np.flat[0])
     mass = jnp.asarray(mass, jnp.float32)
     vel = jnp.zeros((n, 3), jnp.float32) if vel is None else jnp.asarray(vel, jnp.float32)
     phi = jnp.zeros(n, jnp.float32) if phi is None else jnp.asarray(phi, jnp.float32)
@@ -250,7 +267,8 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     # 512^3-class sizes the build-time HBM peak is what limits a single
     # chip (docs/RESULTS.md round-3 memory budget)
     del pos, mass, vel, phi, ptype, mark
-    grid = CellGrid(m, lo, period, *out, chunk=choose_chunk(n, m))
+    grid = CellGrid(m, lo, period, *out, chunk=choose_chunk(n, m),
+                    uniform_mass=um)
     del out
     if pallas is None:
         env = os.environ.get("SO_TPU_PALLAS", "auto")

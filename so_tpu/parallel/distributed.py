@@ -225,12 +225,20 @@ def build_sharded_grid_segment(mesh, start: int, n_global: int, pos, mass,
                                vel=None, phi=None, ptype=None, mark=None,
                                period=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0),
                                m: int | None = None,
-                               pallas: bool | None = None):
+                               pallas: bool | None = None,
+                               uniform_mass: float | None = None):
     """Multi-controller ShardedGrid: each host grids only its own particle
     segment (read via io.tipsy.read_tipsy_segment over grid_segment) and
     the global arrays are assembled shard-by-shard — no host ever holds
     the full snapshot. Split convention matches parallel.mesh.
     build_sharded_grid exactly, so single-process results are identical.
+
+    ``uniform_mass`` is caller-asserted (a host sees only its segment, so
+    it cannot detect GLOBAL mass uniformity itself): pass the single f32
+    mass value only when every host agrees every particle carries it —
+    run_so_distributed derives it with a process_allgather of per-segment
+    (uniform, value) pairs. Same static aux on every process, or shard_map
+    pytrees mismatch.
     """
     import jax
     import jax.numpy as jnp
@@ -308,4 +316,4 @@ def build_sharded_grid_segment(mesh, start: int, n_global: int, pos, mass,
         m, make_global(mesh, P(), lo), make_global(mesh, P(), period_a),
         gp(pos_s), gp(mass_s), gp(vel_s), gp(phi_s), gp(ptype_s), gp(mark_s),
         gp(orig), tuple(gp(s) for s in starts_s),
-        gp(soa_s), chunk=chunk)
+        gp(soa_s), chunk=chunk, uniform_mass=uniform_mass)

@@ -47,6 +47,7 @@ single-process CLI).
 
 from __future__ import annotations
 
+import os
 import time as _time
 from dataclasses import dataclass
 from typing import NamedTuple
@@ -621,11 +622,32 @@ def run_so_distributed(snapshot_path: str, catalog, params,
             pset.mark = np.asarray(mark_mask, bool)[start:start + count]
         ptype_seg = pset.ptype(start + np.arange(count, dtype=np.int64))
 
+        # global uniform-mass verdict: every host's segment must be uniform
+        # AND carry the same f32 value (process_allgather keeps the static
+        # aux identical on all processes — a mismatch would desync the
+        # shard_map pytrees)
+        um = None
+        if os.environ.get("SO_TPU_UNIFORM", "1") != "0":
+            # every process must join the collective (an empty segment is
+            # vacuously uniform and contributes no value)
+            mseg = np.asarray(pset.mass, np.float32)
+            loc = np.array(
+                [float(count == 0 or (mseg == mseg.flat[0]).all()),
+                 float(mseg.flat[0]) if count else 0.0,
+                 float(count > 0)], np.float64)
+            from jax.experimental import multihost_utils
+            allm = np.atleast_2d(multihost_utils.process_allgather(loc))
+            vals = allm[allm[:, 2] > 0, 1]
+            if bool(allm[:, 0].all()) and vals.size \
+                    and bool((vals == vals[0]).all()):
+                um = float(np.float32(vals[0]))
+
         with timer.phase("sharded grid build (segment)"):
             sgrid = build_sharded_grid_segment(
                 mesh, start, n_global, pset.pos, pset.mass, vel=pset.vel,
                 phi=pset.phi, ptype=ptype_seg, mark=pset.mark,
-                period=params.period, center=params.center, m=params.grid_m)
+                period=params.period, center=params.center, m=params.grid_m,
+                uniform_mass=um)
 
         centers = np.asarray(catalog.pos, np.float32).copy()
         rgtp = np.asarray(catalog.rgtp, np.float32)

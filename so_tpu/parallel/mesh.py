@@ -64,6 +64,14 @@ class ShardedGrid:
     starts: tuple             # per level: (nsh, size_g)
     soa8t: jnp.ndarray | None = None  # (nsh, 8, Nl+chunk) Pallas payload
     chunk: int = 256          # static: slab DMA chunk (see CellGrid.chunk)
+    uniform_mass: float | None = None  # static: the single f32 mass when
+    #                           every REAL particle's mass is bit-identical
+    #                           (detected on the pre-padding host array —
+    #                           shard padding rows are excluded from every
+    #                           gather by their sentinel Morton codes).
+    #                           Sharded stages then skip the mass channel:
+    #                           the all_gather merge halves and the sort
+    #                           drops one operand (see CellGrid.uniform_mass).
 
     @property
     def nshards(self) -> int:
@@ -76,12 +84,12 @@ class ShardedGrid:
     def tree_flatten(self):
         return ((self.lo, self.period, self.pos, self.mass, self.vel,
                  self.phi, self.ptype, self.mark, self.orig_idx, self.starts,
-                 self.soa8t), (self.m, self.chunk))
+                 self.soa8t), (self.m, self.chunk, self.uniform_mass))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        m, chunk = aux
-        return cls(m, *children, chunk=chunk)
+        m, chunk, uniform_mass = aux
+        return cls(m, *children, chunk=chunk, uniform_mass=uniform_mass)
 
     def local_cellgrid(self) -> CellGrid:
         """Inside shard_map: view this shard's block (leading dim 1) as a
@@ -92,7 +100,8 @@ class ShardedGrid:
                         sq(self.mass), sq(self.vel), sq(self.phi),
                         sq(self.ptype), sq(self.mark), sq(self.orig_idx),
                         tuple(sq(s) for s in self.starts),
-                        sq(self.soa8t), chunk=self.chunk)
+                        sq(self.soa8t), chunk=self.chunk,
+                        uniform_mass=self.uniform_mass)
 
 
 def _specs_grid(sgrid: ShardedGrid) -> ShardedGrid:
@@ -105,7 +114,8 @@ def _specs_grid(sgrid: ShardedGrid) -> ShardedGrid:
         sgrid.m, P(), P(), sp(sgrid.pos), sp(sgrid.mass), sp(sgrid.vel),
         sp(sgrid.phi), sp(sgrid.ptype), sp(sgrid.mark), P("part"),
         tuple(P("part") for _ in sgrid.starts),
-        sp(sgrid.soa8t), chunk=sgrid.chunk)
+        sp(sgrid.soa8t), chunk=sgrid.chunk,
+        uniform_mass=sgrid.uniform_mass)
 
 
 def grid_proxy(sgrid: ShardedGrid, with_slab: bool = True):
@@ -122,6 +132,7 @@ def grid_proxy(sgrid: ShardedGrid, with_slab: bool = True):
         period = sgrid.period
         soa8t = sgrid.soa8t if with_slab else None
         chunk = sgrid.chunk
+        uniform_mass = sgrid.uniform_mass
 
         def ncell(self, level):
             return 1 << (sgrid.m - level)
@@ -143,6 +154,12 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     n = pos.shape[0]
     has_phi = phi is not None
     mass = np.asarray(mass, np.float32)
+    # uniform-mass detection on the REAL rows (padding rows are zero-mass
+    # but excluded from every gather by their sentinel Morton codes)
+    um = None
+    if (n and os.environ.get("SO_TPU_UNIFORM", "1") != "0"
+            and bool((mass == mass.flat[0]).all())):
+        um = float(np.float32(mass.flat[0]))
     vel = np.zeros((n, 3), np.float32) if vel is None else np.asarray(vel, np.float32)
     phi = np.zeros(n, np.float32) if phi is None else np.asarray(phi, np.float32)
     ptype = np.zeros(n, np.int32) if ptype is None else np.asarray(ptype, np.int32)
@@ -199,7 +216,7 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
 
     sg = ShardedGrid(m, jnp.asarray(lo), jnp.asarray(period_a), pos_s, mass_s,
                      vel_s, phi_s, ptype_s, mark_s, orig, tuple(starts_s),
-                     soa, chunk=chunk)
+                     soa, chunk=chunk, uniform_mass=um)
     if mesh is not None:
         def place(a):
             return None if a is None else \
@@ -209,7 +226,7 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
                          place(sg.pos), place(sg.mass), place(sg.vel),
                          place(sg.phi), place(sg.ptype), place(sg.mark),
                          place(sg.orig_idx), tuple(place(s) for s in sg.starts),
-                         place(soa), chunk=chunk)
+                         place(soa), chunk=chunk, uniform_mass=um)
     return sg
 
 
@@ -271,19 +288,35 @@ def solve_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
     merge-sorts, and runs the shared density scan. Outputs are
     halo-sharded and part-replicated.
     """
+    um = sgrid.uniform_mass
+
     def body(sg: ShardedGrid, centers, radii, thr):
         grid = sg.local_cellgrid()
-        d2_l, mass_l, n_in_l, ovf_l = _local_hits(grid, level, K, S, centers,
-                                                  radii, ("mass",))
+        if um is not None:
+            # uniform mass: no mass channel — the all_gather merge halves
+            # and the merge sort drops to one operand (cum is the shared
+            # serial-f32 ladder inside scan_sorted)
+            d2_l, n_in_l, ovf_l = _local_hits(grid, level, K, S, centers,
+                                              radii, ())
+        else:
+            d2_l, mass_l, n_in_l, ovf_l = _local_hits(grid, level, K, S,
+                                                      centers, radii,
+                                                      ("mass",))
 
         # merge over the particle axis: ICI all_gather + one sort
         d2_all = jax.lax.all_gather(d2_l, "part", axis=1, tiled=True)
-        m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
         n_in = jax.lax.psum(n_in_l, "part")
         overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
 
-        d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1, is_stable=False)
-        out = scan_sorted(d2_s, m_s, None, n_in, thr, n_members)
+        if um is not None:
+            d2_s = jax.lax.sort((d2_all,), num_keys=1, is_stable=False)[0]
+            m_s = None
+        else:
+            m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
+            d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1,
+                                     is_stable=False)
+        out = scan_sorted(d2_s, m_s, None, n_in, thr, n_members,
+                          uniform_m=um)
         out.update(n_in=n_in, overflow=overflow)
         return out
 
@@ -317,8 +350,24 @@ def classify_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
 
     kk = min(K, max(16, n_members + 2))
 
+    um = sgrid.uniform_mass
+
     def body(sg: ShardedGrid, centers, radii, thrs):
         grid = sg.local_cellgrid()
+        if um is not None:
+            # uniform mass: the merged kk-prefix masses are all m on live
+            # slots — no mass channel, no mass prefixes over ICI
+            d2_l, n_in_l, ovf_l = _local_hits(grid, level, K, S, centers,
+                                              radii, ())
+            d2k_l = -jax.lax.top_k(-d2_l, kk)[0]
+            d2_all = jax.lax.all_gather(d2k_l, "part", axis=1, tiled=True)
+            n_in = jax.lax.psum(n_in_l, "part")
+            overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
+            d2k = -jax.lax.top_k(-d2_all, kk)[0]
+            mk = jnp.where(jnp.arange(kk, dtype=jnp.int32)[None, :]
+                           < n_in[:, None], jnp.float32(um), 0.0)
+            return _classify_verdict(d2k, mk, n_in, overflow, thrs, T,
+                                     n_members)
         d2_l, mass_l, n_in_l, ovf_l = _local_hits(grid, level, K, S,
                                                   centers, radii, ("mass",))
         d2k_l, mk_l = _classify_prefix(d2_l, mass_l, kk)
@@ -376,17 +425,28 @@ def solve_stage_fused_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
     driver's two-block decision logic applies unchanged."""
     from ..engine.solver import fused_tier2_select, pack_stage_out
 
+    um = sgrid.uniform_mass
+
     def merged_scan(sg, level_, K_, S_, centers_, radii_, thr_):
         grid = sg.local_cellgrid()
-        d2_l, mass_l, n_in_l, ovf_l = _local_hits(
-            grid, level_, K_, S_, centers_, radii_, ("mass",))
+        if um is not None:
+            d2_l, n_in_l, ovf_l = _local_hits(grid, level_, K_, S_,
+                                              centers_, radii_, ())
+        else:
+            d2_l, mass_l, n_in_l, ovf_l = _local_hits(
+                grid, level_, K_, S_, centers_, radii_, ("mass",))
         d2_all = jax.lax.all_gather(d2_l, "part", axis=1, tiled=True)
-        m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
         n_in = jax.lax.psum(n_in_l, "part")
         overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
-        d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1,
-                                 is_stable=False)
-        out = scan_sorted(d2_s, m_s, None, n_in, thr_, n_members)
+        if um is not None:
+            d2_s = jax.lax.sort((d2_all,), num_keys=1, is_stable=False)[0]
+            m_s = None
+        else:
+            m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
+            d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1,
+                                     is_stable=False)
+        out = scan_sorted(d2_s, m_s, None, n_in, thr_, n_members,
+                          uniform_m=um)
         out.update(n_in=n_in, overflow=overflow)
         return out
 
@@ -426,24 +486,38 @@ def derived_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
     'psum-merged profiles' of the multi-host configuration)."""
     from ..engine.derived import derived_from_sorted
 
+    um = sgrid.uniform_mass
+
     def body(sg: ShardedGrid, centers, rvir, mvir, grav):
         grid = sg.local_cellgrid()
         fball = jnp.float32(2.0) * rvir
-        d2_l, mass_l, meta_l, n_in_l, ovf_l = _local_hits(
-            grid, level, K, S, centers, fball, ("mass", "meta"))
+        if um is not None:
+            # mass dropped (ladder cum in derived_from_sorted); meta kept
+            # only while species profiles are requested
+            chans = ("meta",) if species else ()
+        else:
+            chans = ("mass", "meta") if species else ("mass",)
+        outs = _local_hits(grid, level, K, S, centers, fball, chans)
+        d2_l, ch_l, n_in_l, ovf_l = outs[0], outs[1:-2], outs[-2], outs[-1]
 
         d2_all = jax.lax.all_gather(d2_l, "part", axis=1, tiled=True)
-        m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
-        t_all = jax.lax.all_gather(meta_l, "part", axis=1, tiled=True)
+        ch_all = [jax.lax.all_gather(c, "part", axis=1, tiled=True)
+                  for c in ch_l]
         n_in = jax.lax.psum(n_in_l, "part")
         overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
 
-        d2_s, m_s, t_s = jax.lax.sort((d2_all, m_all, t_all),
-                                      num_keys=1, is_stable=False)
-        meta = t_s.astype(jnp.int32)
-        out = derived_from_sorted(d2_s, m_s, meta & 0xF, (meta >> 4) > 0,
+        srt = jax.lax.sort((d2_all, *ch_all), num_keys=1, is_stable=False)
+        d2_s, rest = srt[0], list(srt[1:])
+        m_s = None if um is not None else rest.pop(0)
+        if species:
+            meta = rest.pop(0).astype(jnp.int32)
+            ptype_s, mark_s = meta & 0xF, (meta >> 4) > 0
+        else:
+            ptype_s = jnp.zeros_like(d2_s, jnp.int32)
+            mark_s = jnp.zeros_like(d2_s, bool)
+        out = derived_from_sorted(d2_s, m_s, ptype_s, mark_s,
                                   n_in, rvir, mvir, fball, n_members,
-                                  species, grav)
+                                  species, grav, uniform_m=um)
         out.update(overflow=overflow)
         return out
 
@@ -523,11 +597,13 @@ def fused_members_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
     from ..engine.derived import derived_from_sorted
     from ..ops.pallas_gather import decode_idx
 
+    um = sgrid.uniform_mass
+
     def body(sg: ShardedGrid, centers, rvir, j, mvir, grav):
         grid = sg.local_cellgrid()
         fball = jnp.float32(2.0) * rvir
-        chans = ("mass", "meta", "ilo", "ihi") if species \
-            else ("mass", "ilo", "ihi")
+        chans = (() if um is not None else ("mass",)) \
+            + (("meta",) if species else ()) + ("ilo", "ihi")
         outs = _local_hits(grid, level, K, S, centers, fball, chans)
         d2_l, rest, (n_in_l, ovf_l) = outs[0], outs[1:-2], outs[-2:]
         rowl = decode_idx(rest[-2], rest[-1])
@@ -537,12 +613,14 @@ def fused_members_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
         ag = lambda a: jax.lax.all_gather(a, "part", axis=1, tiled=True)
         n_in = jax.lax.psum(n_in_l, "part")
         overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
-        ops = (ag(d2_l), ag(rest[0])) \
-            + ((ag(rest[1]),) if species else ()) + (ag(orig_l),)
+        ops = (ag(d2_l),) \
+            + (() if um is not None else (ag(rest[0]),)) \
+            + ((ag(rest[-3]),) if species else ()) + (ag(orig_l),)
         sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
-        d2_s, mass_s = sorted_ops[0], sorted_ops[1]
+        d2_s = sorted_ops[0]
+        mass_s = None if um is not None else sorted_ops[1]
         if species:
-            meta = sorted_ops[2].astype(jnp.int32)
+            meta = sorted_ops[-2].astype(jnp.int32)
             ptype_s, mark_s = meta & 0xF, (meta >> 4) > 0
         else:
             ptype_s = jnp.zeros_like(d2_s, jnp.int32)
@@ -551,7 +629,7 @@ def fused_members_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
 
         der = derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in,
                                   rvir, mvir, fball, n_members, species,
-                                  grav)
+                                  grav, uniform_m=um)
         Km = d2_s.shape[1]
         interior = (jnp.arange(Km, dtype=jnp.int32)[None, :] < j[:, None]) \
             & jnp.isfinite(d2_s)
@@ -675,17 +753,29 @@ def multi_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int, K: int,
     the same (T+1, B, 5) packed block, halo-sharded on axis 1."""
     from ..engine.solver import scan_sorted as _scan
 
+    um = sgrid.uniform_mass
+
     def body(sg: ShardedGrid, centers, radii, thresholds):
         grid = sg.local_cellgrid()
-        d2_l, mass_l, n_in_l, ovf_l = _local_hits(grid, level, K, S, centers,
-                                                  radii, ("mass",))
+        if um is not None:
+            d2_l, n_in_l, ovf_l = _local_hits(grid, level, K, S, centers,
+                                              radii, ())
+        else:
+            d2_l, mass_l, n_in_l, ovf_l = _local_hits(grid, level, K, S,
+                                                      centers, radii,
+                                                      ("mass",))
         d2_all = jax.lax.all_gather(d2_l, "part", axis=1, tiled=True)
-        m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
         n_in = jax.lax.psum(n_in_l, "part")
         ovf = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
-        d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1,
-                                 is_stable=False)
-        outs = [_scan(d2_s, m_s, None, n_in, thresholds[t], n_members)
+        if um is not None:
+            d2_s = jax.lax.sort((d2_all,), num_keys=1, is_stable=False)[0]
+            m_s = None
+        else:
+            m_all = jax.lax.all_gather(mass_l, "part", axis=1, tiled=True)
+            d2_s, m_s = jax.lax.sort((d2_all, m_all), num_keys=1,
+                                     is_stable=False)
+        outs = [_scan(d2_s, m_s, None, n_in, thresholds[t], n_members,
+                      uniform_m=um)
                 for t in range(T)]
         bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         per_t = jnp.stack([jnp.stack(

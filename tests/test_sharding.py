@@ -415,3 +415,75 @@ def test_sharded_recenter_matches_single(data):
     sgrid = build_sharded_grid(d["pos"], d["mass"], phi=phi, m=3, mesh=mesh)
     got = recenter_most_bound_sharded(mesh, sgrid, centers, rgtp)
     np.testing.assert_array_equal(got, want)
+
+
+def test_uniform_mass_sharded_matches_single(data):
+    """Uniform-mass sharded stages (mass channel dropped, halved
+    all_gather merge, 1-op sort, ladder cum) must bit-match the
+    single-device solve — plain solve, --survey classify, and
+    multi-threshold."""
+    from so_tpu.engine.multi import solve_rvir_multi
+    from so_tpu.parallel.mesh import solve_rvir_multi_sharded
+
+    d, centers, rgtp = data
+    n = d["pos"].shape[0]
+    mass = np.full(n, np.float32(1.0 / n))
+    grid = build_grid(d["pos"], mass)
+    assert grid.uniform_mass is not None
+    want = solve_rvir(grid, centers, rgtp, 178.0)
+
+    mesh = make_mesh(2, 4)
+    sgrid = build_sharded_grid(d["pos"], mass, m=3, mesh=mesh)
+    assert sgrid.uniform_mass == grid.uniform_mass
+    for survey in (False, True):
+        got = solve_rvir_sharded(mesh, sgrid, centers, rgtp, 178.0,
+                                 survey=survey)
+        np.testing.assert_array_equal(got.code, want.code)
+        np.testing.assert_array_equal(got.mvir, want.mvir)
+        np.testing.assert_array_equal(got.rvir, want.rvir)
+        np.testing.assert_array_equal(got.j, want.j)
+
+    thresholds = [178.0, 500.0]
+    want_m = solve_rvir_multi(grid, centers, rgtp, thresholds)
+    got_m = solve_rvir_multi_sharded(mesh, sgrid, centers, rgtp, thresholds)
+    np.testing.assert_array_equal(got_m.code, want_m.code)
+    np.testing.assert_array_equal(got_m.mvir, want_m.mvir)
+    np.testing.assert_array_equal(got_m.rvir, want_m.rvir)
+
+
+def test_uniform_mass_sharded_fused_members_matches(data):
+    """The sharded fused members+derived stage under uniform mass (mass
+    operand dropped from the merge sort, ladder cum + int-count species
+    profiles) must match the single-device fused pass bit-for-bit."""
+    import dataclasses
+
+    from so_tpu.engine.fused import members_and_derived
+    from so_tpu.io.tipsy import DARK
+    from so_tpu.parallel.mesh import sharded_fused_members_fn
+
+    d, centers, rgtp = data
+    n = d["pos"].shape[0]
+    mass = np.full(n, np.float32(1.0 / n))
+    vel = np.random.default_rng(5).normal(size=(n, 3)).astype(np.float32)
+    grid = build_grid(d["pos"], mass, vel=vel)
+    sr = solve_rvir(grid, centers, rgtp, 178.0)
+    ok = sr.code == 0
+
+    mesh = make_mesh(2, 4)
+    sgrid = build_sharded_grid(d["pos"], mass, vel=vel, m=3, mesh=mesh)
+    assert sgrid.uniform_mass is not None
+    species = (DARK,)
+    want = members_and_derived(grid, centers[ok], sr.rvir[ok], sr.d2cut[ok],
+                               sr.j[ok], sr.mvir[ok], host_mv=(vel, mass),
+                               species=species)
+    got = members_and_derived(grid, centers[ok], sr.rvir[ok], sr.d2cut[ok],
+                              sr.j[ok], sr.mvir[ok], host_mv=(vel, mass),
+                              species=species,
+                              stage_fn=sharded_fused_members_fn(mesh, sgrid))
+    for a, b in zip(got[0], want[0]):
+        np.testing.assert_array_equal(np.sort(a), np.sort(b))
+    np.testing.assert_array_equal(got[1], want[1])
+    np.testing.assert_array_equal(got[2].vcirc, want[2].vcirc)
+    np.testing.assert_array_equal(got[2].rmass, want[2].rmass)
+    np.testing.assert_array_equal(got[2].profiles[DARK],
+                                  want[2].profiles[DARK])

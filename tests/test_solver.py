@@ -345,3 +345,121 @@ def test_survey_multi_threshold_matches_full(monkeypatch):
         np.testing.assert_array_equal(g.rvir, want.rvir)
         np.testing.assert_array_equal(g.j, want.j)
         np.testing.assert_array_equal(g.d2cut, want.d2cut)
+
+
+def test_mass_ladder_matches_serial_and_seqsum():
+    """np.cumsum (ufunc.accumulate, serial by definition) must equal both
+    an explicit f32 accumulator loop and ops.seqsum.seq_cumsum bit-for-bit
+    — the uniform-mass solve path substitutes the ladder for the per-slot
+    serial sum and the exactness contract rides on this."""
+    import jax.numpy as jnp
+
+    from so_tpu.engine.solver import _mass_ladder
+    from so_tpu.ops.seqsum import seq_cumsum
+
+    for m, K in ((3.3386752e-06, 1024), (1.0 / 2097152.0, 4096),
+                 (0.0173, 257)):
+        lad = _mass_ladder(float(np.float32(m)), K)
+        acc = np.float32(0.0)
+        explicit = np.empty(K, np.float32)
+        for i in range(K):
+            acc = np.float32(acc + np.float32(m))
+            explicit[i] = acc
+        np.testing.assert_array_equal(lad, explicit)
+        scanned = np.asarray(seq_cumsum(
+            jnp.full((1, K), jnp.float32(m)), axis=1))[0]
+        np.testing.assert_array_equal(lad, scanned)
+
+
+def test_uniform_mass_solve_matches_general_path():
+    """A bit-identical-mass box must solve identically through the
+    uniform-mass shortcut (1-op sort + cum ladder) and the general
+    (d2, mass) path — classic, fused, survey, and multi-threshold."""
+    import dataclasses
+
+    from so_tpu.engine import solver
+    from so_tpu.engine.multi import solve_rvir_multi
+
+    rng = np.random.default_rng(77)
+    clumps = [
+        dict(center=(0.1, 0.1, 0.1), n=2500, rmax=0.07, mass_total=0.2),
+        dict(center=(-0.3, 0.2, -0.2), n=1200, rmax=0.05, mass_total=0.1),
+        dict(center=(0.35, -0.35, 0.3), n=700, rmax=0.04, mass_total=0.05),
+    ]
+    d = make_clumpy_box(rng, n_background=6000, clumps=clumps)
+    n = d["pos"].shape[0]
+    mass = np.full(n, np.float32(1.0 / n))          # bit-identical masses
+    grid_u = build_grid(d["pos"], mass)
+    assert grid_u.uniform_mass == float(np.float32(1.0 / n))
+    grid_g = dataclasses.replace(grid_u, uniform_mass=None)
+
+    centers = np.array([c["center"] for c in clumps]
+                       + [(-0.45, -0.45, -0.45)], np.float32)
+    rgtp = np.array([0.05, 0.04, 0.03, 0.01], np.float32)
+
+    for survey in (False, True):
+        want = solve_rvir(grid_g, centers, rgtp, 178.0, survey=survey)
+        got = solve_rvir(grid_u, centers, rgtp, 178.0, survey=survey)
+        np.testing.assert_array_equal(got.code, want.code)
+        np.testing.assert_array_equal(got.mvir, want.mvir)
+        np.testing.assert_array_equal(got.rvir, want.rvir)
+        np.testing.assert_array_equal(got.j, want.j)
+        np.testing.assert_array_equal(got.d2cut, want.d2cut)
+
+    want_m = solve_rvir_multi(grid_g, centers, rgtp, [178.0, 500.0])
+    got_m = solve_rvir_multi(grid_u, centers, rgtp, [178.0, 500.0])
+    np.testing.assert_array_equal(got_m.code, want_m.code)
+    np.testing.assert_array_equal(got_m.mvir, want_m.mvir)
+    np.testing.assert_array_equal(got_m.rvir, want_m.rvir)
+
+
+def test_uniform_mass_fused_derived_matches_general_path():
+    """Fused members+derived on a uniform-mass grid (ladder cumulative
+    masses, int-count species profiles, mass channel dropped from the
+    sort) must bit-match the general (d2, mass) path."""
+    import dataclasses
+
+    from so_tpu.engine.fused import members_and_derived
+    from so_tpu.io.tipsy import DARK, GAS, STAR
+
+    rng = np.random.default_rng(78)
+    clumps = [
+        dict(center=(0.1, 0.1, 0.1), n=2500, rmax=0.07, mass_total=0.2),
+        dict(center=(-0.3, 0.2, -0.2), n=1200, rmax=0.05, mass_total=0.1),
+    ]
+    d = make_clumpy_box(rng, n_background=6000, clumps=clumps)
+    n = d["pos"].shape[0]
+    mass = np.full(n, np.float32(1.0 / n))
+    vel = rng.normal(size=(n, 3)).astype(np.float32) * 0.01
+    ptype = np.zeros(n, np.int32)
+    ptype[: n // 5] = GAS
+    ptype[-n // 7:] = STAR
+    ptype[n // 5: -n // 7] = DARK
+    grid_u = build_grid(d["pos"], mass, vel=vel, ptype=ptype)
+    assert grid_u.uniform_mass is not None
+    grid_g = dataclasses.replace(grid_u, uniform_mass=None)
+
+    centers = np.array([c["center"] for c in clumps], np.float32)
+    rgtp = np.array([0.05, 0.04], np.float32)
+    sr = solve_rvir(grid_g, centers, rgtp, 178.0)
+    ok = sr.code == 0
+    assert ok.all()
+
+    species = (GAS, DARK, STAR)
+    res = {}
+    for name, g in (("uniform", grid_u), ("general", grid_g)):
+        members, vcm, der = members_and_derived(
+            g, centers, sr.rvir, sr.d2cut, sr.j, sr.mvir,
+            host_mv=(vel, mass), species=species)
+        res[name] = (members, vcm, der)
+    mu, vu, du = res["uniform"]
+    mg, vg, dg = res["general"]
+    for a, b in zip(mu, mg):
+        np.testing.assert_array_equal(np.sort(a), np.sort(b))
+    np.testing.assert_array_equal(vu, vg)
+    np.testing.assert_array_equal(du.vcirc, dg.vcirc)
+    np.testing.assert_array_equal(du.rmass, dg.rmass)
+    np.testing.assert_array_equal(du.rmax, dg.rmax)
+    np.testing.assert_array_equal(du.vmax, dg.vmax)
+    for sp in species:
+        np.testing.assert_array_equal(du.profiles[sp], dg.profiles[sp])

@@ -165,6 +165,27 @@ def _period_axes(outdir):
               [0.07, 0.05], [0.25, 0.1], time=1.0)
 
 
+def _uniform(outdir):
+    # every particle carries the same f32 mass (the plain N-body regime):
+    # exercises the uniform-mass ladder fast path against the reference,
+    # where quarter/half-mass crossings land EXACTLY on particle
+    # boundaries (member counts divisible by 4) and the Mvir
+    # add-then-subtract ulp (kd2.c:810-818) decides the slot
+    rng = np.random.default_rng(271)
+    clumps = [
+        dict(center=(0.1, 0.1, 0.1), n=2800, rmax=0.07, mass_total=0.2),
+        dict(center=(-0.2, 0.25, -0.3), n=1400, rmax=0.05, mass_total=0.1),
+        dict(center=(0.35, -0.35, 0.3), n=800, rmax=0.04, mass_total=0.05),
+    ]
+    data = make_clumpy_box(rng, n_background=9000, clumps=clumps)
+    n = data["pos"].shape[0]
+    data["mass"] = np.full(n, np.float32(1.0 / n))
+    write_snapshot(f"{outdir}/snap.bin", data, time=1.0)
+    write_gtp(f"{outdir}/cat.gtp",
+              [c["center"] for c in clumps] + [(-0.45, -0.45, -0.45)],
+              [0.05, 0.04, 0.03, 0.02], [0.2, 0.1, 0.05, 0.001], time=1.0)
+
+
 def _zoom(outdir):
     # zoom-in multi-species regime (BASELINE.md scale ladder): hi-res
     # gas/dark/star clumps in a heavy lo-res dark background — particle
@@ -203,6 +224,8 @@ SCENARIOS = {
                    "-grp", "-gtp"], True),
     "slurp": (_slurp, ["-grp", "-gtp", "-subsumed", "-ignored"], False),
     "zoom": (_zoom, ["-all", "-grp", "-gtp", "-subsumed", "-ignored"], False),
+    "uniform": (_uniform, ["-all", "-grp", "-gtp", "-subsumed", "-ignored"],
+                False),
     "ties": (_ties, ["-grp", "-subsumed", "-ignored"], False),
     "period": (_period, ["-p", "2.0", "-c", "1.0", "-grp"], False),
     # per-axis centers (-cx/-cy/-cz, so.c:338-360) with a boundary clump,

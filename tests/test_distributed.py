@@ -122,7 +122,14 @@ def test_two_process_distributed_solve(problem):
 
 
 @pytest.mark.distributed
-def test_distributed_cli_matches_single_process(tmp_path):
+@pytest.mark.parametrize("uniform", [
+    False,
+    # uniform-mass variant: the driver's process_allgather verdict must
+    # come back True on BOTH processes and the sharded uniform stages
+    # (mass channel dropped, ladder cum) must stay byte-identical to the
+    # single-process CLI, which takes its own uniform path
+    pytest.param(True, marks=pytest.mark.slow)])
+def test_distributed_cli_matches_single_process(tmp_path, uniform):
     """run_so_distributed end-to-end (VERDICT r2 item 1): a REAL 2-process
     `so_tpu --distributed` CLI run — per-host segment reads, cross-process
     sharded solve + fused members/derived, replicated conflict pass,
@@ -141,6 +148,9 @@ def test_distributed_cli_matches_single_process(tmp_path):
              mass_total=0.03),   # overlaps clump 0 -> conflict activity
     ]
     d = make_clumpy_box(rng, n_background=2500, clumps=clumps)
+    if uniform:
+        d["mass"] = np.full(d["pos"].shape[0],
+                            np.float32(1.0 / d["pos"].shape[0]))
     write_snapshot(f"{workdir}/snap.bin", d)
     write_gtp(f"{workdir}/cat.gtp",
               [c["center"] for c in clumps] + [(0.45, -0.4, 0.3)],

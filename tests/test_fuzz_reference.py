@@ -119,6 +119,12 @@ FUZZ_MODES = {
     # short-circuit against the live reference
     "survey": dict(seed=909, args=["-grp", "-gtp", "-subsumed", "-ignored"],
                    tpu_extra=["--survey"]),
+    # all-equal f32 masses: the uniform-mass ladder fast path against the
+    # live reference — quarter/half-mass crossings land exactly on
+    # particle boundaries whenever a member count divides by 4, so the
+    # Mvir add-then-subtract ulp (kd2.c:810-818) is load-bearing here
+    "uniform": dict(seed=808, uniform=True,
+                    args=["-all", "-grp", "-gtp", "-subsumed", "-ignored"]),
 }
 
 
@@ -138,6 +144,8 @@ def test_fuzz_modes(so_bin, mode, seed_off, tmp_path):
         centers = [tuple((np.asarray(c) + box / 2) % box) for c in centers]
     work = str(tmp_path)
     n = data["pos"].shape[0]
+    if cfg.get("uniform"):
+        data["mass"] = np.full(n, np.float32(1.0 / n))
     split = None
     if cfg.get("split"):
         # interleave species: shuffle, then iOrder ranges split gas/dark/star

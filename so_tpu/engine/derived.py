@@ -62,19 +62,16 @@ def derived_from_sorted(d2_s, mass_s, ptype_s, mark_s, n_in, rvir, mvir,
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     valid = slot < n_in[:, None]
     rows = jnp.arange(B)
-    use_ladder = False
+    lad = None
     if uniform_m is not None:
-        from .solver import _LADDER_KMAX, _mass_ladder
-        use_ladder = K <= _LADDER_KMAX
-        if not use_ladder:       # giant tier: in-program constant mass row
+        from .solver import _uniform_cum
+        cum, lad = _uniform_cum(uniform_m, K, n_in, valid)
+        if lad is None:          # giant tier: constant mass row, seq-scanned
             mass_s = jnp.where(valid, jnp.float32(uniform_m), 0.0)
-    if use_ladder:
-        lad = jnp.asarray(_mass_ladder(uniform_m, K))
-        last = jnp.where(n_in > 0, lad[jnp.maximum(n_in - 1, 0)], 0.0)
-        cum = jnp.where(valid, lad[None, :], last[:, None])
     else:
         # C-order float32 accumulation (kd2.c:521, 543) — see ops/seqsum.py
         cum = seq_cumsum(mass_s, axis=1)
+    use_ladder = lad is not None
 
     def cum_at(counts, c):
         return jnp.where(counts > 0, c[rows, jnp.maximum(counts - 1, 0)], 0.0)

@@ -110,6 +110,24 @@ def _mass_ladder(m: float, K: int) -> np.ndarray:
     return np.cumsum(np.full(K, np.float32(m), np.float32))
 
 
+def _uniform_cum(uniform_m: float, K: int, n_in, live):
+    """Serial-f32 cumulative mass over bit-identical-mass sorted rows:
+    cum(i) = ladder[min(i, n_in-1)] materialized as a broadcast+select
+    (no (B,K) gather) — ``live`` is the (B,K) slot<n_in mask. Above
+    _LADDER_KMAX (giant tiers) the constant mass row is synthesized
+    in-program and seq-scanned instead of embedding a huge ladder
+    constant — identical bits (same serial order). Returns (cum, lad):
+    ``lad`` is None on the seq-scan fallback. Shared by scan_sorted and
+    derived_from_sorted so the Mvir-side and profile-side cumulative
+    masses can never desynchronize."""
+    if K <= _LADDER_KMAX:
+        lad = jnp.asarray(_mass_ladder(uniform_m, K))
+        last = jnp.where(n_in > 0, lad[jnp.maximum(n_in - 1, 0)], 0.0)
+        return jnp.where(live, lad[None, :], last[:, None]), lad
+    mass_s = jnp.where(live, jnp.float32(uniform_m), 0.0)
+    return seq_cumsum(mass_s, axis=1), None
+
+
 def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int,
                 uniform_m: float | None = None):
     """The density scan over distance-sorted hits (shared by the single- and
@@ -123,15 +141,8 @@ def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int,
     sort drops to one operand (~35 -> 22 ms at B=16384/K=4096 on v5e)."""
     B, K = d2_s.shape
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-    if uniform_m is not None and K <= _LADDER_KMAX:
-        # cum(i) = ladder[min(i, n_in-1)] without a (B,K) gather: broadcast
-        # the ladder where the slot is live, else the row's frozen total
-        lad = jnp.asarray(_mass_ladder(uniform_m, K))
-        last = jnp.where(n_in > 0, lad[jnp.maximum(n_in - 1, 0)], 0.0)
-        cum = jnp.where(slot < n_in[:, None], lad[None, :], last[:, None])
-    elif uniform_m is not None:
-        mass_s = jnp.where(slot < n_in[:, None], jnp.float32(uniform_m), 0.0)
-        cum = seq_cumsum(mass_s, axis=1)
+    if uniform_m is not None:
+        cum, _ = _uniform_cum(uniform_m, K, n_in, slot < n_in[:, None])
     else:
         # C-order float32 accumulation (kd2.c:807) — see ops/seqsum.py
         cum = seq_cumsum(mass_s, axis=1)
@@ -156,8 +167,14 @@ def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int,
     # mass radii (kd2.c:537-546) compare 0.25·fMvir against the same serial
     # sums, and a crossing that lands exactly on a particle boundary (equal
     # masses, count divisible by 4) picks the slot by that last ulp.
-    m_at_jstar = (jnp.float32(uniform_m) if uniform_m is not None
-                  else mass_s[rows, jstar])
+    if uniform_m is not None:
+        # zero-hit rows must subtract 0 like the general path (whose
+        # mass_s[0] is the zero pad), not the constant m — the packed
+        # stage block stays bit-identical across paths even for rows the
+        # host never reads
+        m_at_jstar = jnp.where(n_in > 0, jnp.float32(uniform_m), 0.0)
+    else:
+        m_at_jstar = mass_s[rows, jstar]
     mvir = cum[rows, jstar] - m_at_jstar
     d2cut = d2_s[rows, jm1]
     # Rvir derived from Mvir, not a particle distance (kd2.c:816-819)

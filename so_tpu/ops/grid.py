@@ -146,6 +146,22 @@ class CellGrid:
         return cls(m, *children, chunk=chunk, uniform_mass=uniform_mass)
 
 
+def detect_uniform_mass(mass) -> float | None:
+    """The single f32 mass value when every entry is bit-identical, else
+    None. One memcmp-speed host pass; never fetches a device buffer
+    (jax.Array inputs return None) and honors SO_TPU_UNIFORM=0. The ONE
+    detection contract shared by build_grid, build_sharded_grid and the
+    distributed driver's per-segment check."""
+    if isinstance(mass, jax.Array):
+        return None
+    if os.environ.get("SO_TPU_UNIFORM", "1") == "0":
+        return None
+    m_np = np.asarray(mass, np.float32)
+    if m_np.size and bool((m_np == m_np.flat[0]).all()):
+        return float(m_np.flat[0])
+    return None
+
+
 def choose_m(n_particles: int, target_occupancy: int = 24, m_max: int = 9) -> int:
     """Pick the finest level so mean cell occupancy ~= target."""
     if n_particles <= 1:
@@ -241,15 +257,7 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     pos = jnp.asarray(pos, jnp.float32)
     n = pos.shape[0]
     has_phi = phi is not None
-    # uniform-mass detection (host arrays only — never fetch a device
-    # buffer): one memcmp-speed pass; bit-equality is the contract the
-    # solve's ladder shortcut needs (see CellGrid.uniform_mass)
-    um = None
-    if (not isinstance(mass, jax.Array)
-            and os.environ.get("SO_TPU_UNIFORM", "1") != "0"):
-        m_np = np.asarray(mass, np.float32)
-        if m_np.size and bool((m_np == m_np.flat[0]).all()):
-            um = float(m_np.flat[0])
+    um = detect_uniform_mass(mass)
     mass = jnp.asarray(mass, jnp.float32)
     vel = jnp.zeros((n, 3), jnp.float32) if vel is None else jnp.asarray(vel, jnp.float32)
     phi = jnp.zeros(n, jnp.float32) if phi is None else jnp.asarray(phi, jnp.float32)

@@ -141,9 +141,15 @@ def _make_kernel(chans: tuple, CHUNK: int = CHUNK):
                           center_ref[0, h, 6])
             n = center_ref[0, h, 7].astype(jnp.int32)
 
-            out_ref[h, :, :] = jnp.concatenate(
-                [jnp.full((1, Kp), jnp.inf, jnp.float32),
-                 jnp.zeros((nch - 1, Kp), jnp.float32)], axis=0)
+            # nch == 1 (d2-only gathers, e.g. uniform-mass solves) must not
+            # emit zero-row concatenate operands — Mosaic lowering of
+            # zero-sized arrays is unvalidated
+            if nch > 1:
+                out_ref[h, :, :] = jnp.concatenate(
+                    [jnp.full((1, Kp), jnp.inf, jnp.float32),
+                     jnp.zeros((nch - 1, Kp), jnp.float32)], axis=0)
+            else:
+                out_ref[h, :, :] = jnp.full((1, Kp), jnp.inf, jnp.float32)
 
             def dma(slot, t, h=h):
                 src = pl.multiple_of(a0_ref[0, h, t] + t * CHUNK, CHUNK)
@@ -199,10 +205,17 @@ def _make_kernel(chans: tuple, CHUNK: int = CHUNK):
                             r0 = soa_row[ch]
                             v = buf[r0:r0 + 1, :]
                         parts.append(jnp.where(in_ball, v, 0.0))
-                    vals = jnp.concatenate(parts, axis=0)     # (nch, CHUNK)
-                    pad_rows = jnp.concatenate(
-                        [jnp.full((1, CHUNK), jnp.inf, jnp.float32),
-                         jnp.zeros((nch - 1, CHUNK), jnp.float32)], axis=0)
+                    # single-element concatenates are identity; nch == 1
+                    # avoids zero-row pad operands (see init above)
+                    vals = parts[0] if nch == 1 \
+                        else jnp.concatenate(parts, axis=0)   # (nch, CHUNK)
+                    if nch > 1:
+                        pad_rows = jnp.concatenate(
+                            [jnp.full((1, CHUNK), jnp.inf, jnp.float32),
+                             jnp.zeros((nch - 1, CHUNK), jnp.float32)],
+                            axis=0)
+                    else:
+                        pad_rows = jnp.full((1, CHUNK), jnp.inf, jnp.float32)
                     dst = pl.multiple_of(t * CHUNK, CHUNK)
                     out_ref[h, :, pl.ds(dst, CHUNK)] = jnp.where(
                         in_cell, vals, pad_rows)

@@ -630,10 +630,11 @@ def run_so_distributed(snapshot_path: str, catalog, params,
         if os.environ.get("SO_TPU_UNIFORM", "1") != "0":
             # every process must join the collective (an empty segment is
             # vacuously uniform and contributes no value)
-            mseg = np.asarray(pset.mass, np.float32)
+            from ..ops.grid import detect_uniform_mass
+            seg_um = detect_uniform_mass(pset.mass) if count else None
             loc = np.array(
-                [float(count == 0 or (mseg == mseg.flat[0]).all()),
-                 float(mseg.flat[0]) if count else 0.0,
+                [float(count == 0 or seg_um is not None),
+                 seg_um if seg_um is not None else 0.0,
                  float(count > 0)], np.float64)
             from jax.experimental import multihost_utils
             allm = np.atleast_2d(multihost_utils.process_allgather(loc))

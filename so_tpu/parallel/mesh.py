@@ -156,10 +156,8 @@ def build_sharded_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     mass = np.asarray(mass, np.float32)
     # uniform-mass detection on the REAL rows (padding rows are zero-mass
     # but excluded from every gather by their sentinel Morton codes)
-    um = None
-    if (n and os.environ.get("SO_TPU_UNIFORM", "1") != "0"
-            and bool((mass == mass.flat[0]).all())):
-        um = float(np.float32(mass.flat[0]))
+    from ..ops.grid import detect_uniform_mass
+    um = detect_uniform_mass(mass)
     vel = np.zeros((n, 3), np.float32) if vel is None else np.asarray(vel, np.float32)
     phi = np.zeros(n, np.float32) if phi is None else np.asarray(phi, np.float32)
     ptype = np.zeros(n, np.int32) if ptype is None else np.asarray(ptype, np.int32)

@@ -143,3 +143,54 @@ def test_dedup_env_escape_hatch(monkeypatch):
     mass = rng.uniform(0.5, 1.5, 200).astype(np.float32)
     g = build_grid(pos, mass, m=2, pallas=True)
     assert g.soa8t is not None and g.pos is not None and g.mass is not None
+
+
+def test_uniform_mass_slab_paths_match_general(tmp_path):
+    """The chans=() slab-kernel configs (uniform-mass solve/classify/fused)
+    must produce bit-identical results to the general (d2, mass) slab
+    path — run through the Pallas interpreter, the only coverage of the
+    nch=1 kernel instantiation off-hardware."""
+    import dataclasses
+
+    from so_tpu.engine.fused import members_and_derived
+    from so_tpu.engine.solver import solve_rvir
+    from so_tpu.io.tipsy import DARK, GAS
+
+    rng = np.random.default_rng(31)
+    n_c, n_b = 1800, 2600
+    pos = np.concatenate([
+        (rng.normal(size=(n_c, 3)) * 0.03).astype(np.float32),
+        rng.uniform(-0.5, 0.5, (n_b, 3)).astype(np.float32)])
+    n = pos.shape[0]
+    mass = np.full(n, np.float32(1.0 / n))
+    vel = (rng.normal(size=(n, 3)) * 0.01).astype(np.float32)
+    ptype = np.where(np.arange(n) % 3 == 0, GAS, DARK).astype(np.int32)
+    g_u = build_grid(pos, mass, vel=vel, ptype=ptype, m=2, pallas=True)
+    assert g_u.uniform_mass is not None and g_u.soa8t is not None
+    g_g = dataclasses.replace(g_u, uniform_mass=None)
+
+    centers = np.array([[0.0, 0.0, 0.0], [0.01, 0.0, 0.01],
+                        [0.3, 0.3, 0.3]], np.float32)
+    rgtp = np.array([0.05, 0.04, 0.02], np.float32)
+    for survey in (False, True):
+        want = solve_rvir(g_g, centers, rgtp, 178.0, survey=survey)
+        got = solve_rvir(g_u, centers, rgtp, 178.0, survey=survey)
+        np.testing.assert_array_equal(got.code, want.code)
+        np.testing.assert_array_equal(got.mvir, want.mvir)
+        np.testing.assert_array_equal(got.rvir, want.rvir)
+        np.testing.assert_array_equal(got.j, want.j)
+
+    sr = solve_rvir(g_g, centers, rgtp, 178.0)
+    ok = sr.code == 0
+    res = {}
+    for name, g in (("u", g_u), ("g", g_g)):
+        res[name] = members_and_derived(
+            g, centers[ok], sr.rvir[ok], sr.d2cut[ok], sr.j[ok],
+            sr.mvir[ok], host_mv=(vel, mass), species=(GAS, DARK))
+    for a, b in zip(res["u"][0], res["g"][0]):
+        np.testing.assert_array_equal(np.sort(a), np.sort(b))
+    np.testing.assert_array_equal(res["u"][1], res["g"][1])
+    for sp in (GAS, DARK):
+        np.testing.assert_array_equal(res["u"][2].profiles[sp],
+                                      res["g"][2].profiles[sp])
+    np.testing.assert_array_equal(res["u"][2].rmass, res["g"][2].rmass)

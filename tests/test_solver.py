@@ -463,3 +463,21 @@ def test_uniform_mass_fused_derived_matches_general_path():
     np.testing.assert_array_equal(du.vmax, dg.vmax)
     for sp in species:
         np.testing.assert_array_equal(du.profiles[sp], dg.profiles[sp])
+
+
+def test_uniform_cum_giant_fallback_matches_ladder(monkeypatch):
+    """The K > _LADDER_KMAX fallback (in-program constant mass row,
+    seq-scanned) must produce the same bits as the ladder broadcast."""
+    import jax.numpy as jnp
+
+    from so_tpu.engine import solver
+
+    m, K, B = 3.3386752e-06, 512, 5
+    n_in = jnp.asarray(np.array([0, 1, 37, 256, 512], np.int32))
+    live = jnp.arange(K, dtype=jnp.int32)[None, :] < n_in[:, None]
+    want, lad = solver._uniform_cum(m, K, n_in, live)
+    assert lad is not None
+    monkeypatch.setattr(solver, "_LADDER_KMAX", 64)
+    got, lad2 = solver._uniform_cum(m, K, n_in, live)
+    assert lad2 is None
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -122,44 +122,57 @@ def test_two_process_distributed_solve(problem):
 
 
 @pytest.mark.distributed
-@pytest.mark.parametrize("uniform", [
-    False,
+@pytest.mark.parametrize("variant", [
+    "plain",
     # uniform-mass variant: the driver's process_allgather verdict must
     # come back True on BOTH processes and the sharded uniform stages
     # (mass channel dropped, ladder cum) must stay byte-identical to the
     # single-process CLI, which takes its own uniform path
-    pytest.param(True, marks=pytest.mark.slow)])
-def test_distributed_cli_matches_single_process(tmp_path, uniform):
+    pytest.param("uniform", marks=pytest.mark.slow),
+    # zoom multi-species variant: per-host segment reads crossing the
+    # gas/dark/star iOrder boundaries, cross-process species profiles
+    # (-all), and ~2-orders-of-magnitude mass spread in the merges
+    pytest.param("zoom", marks=pytest.mark.slow)])
+def test_distributed_cli_matches_single_process(tmp_path, variant):
     """run_so_distributed end-to-end (VERDICT r2 item 1): a REAL 2-process
     `so_tpu --distributed` CLI run — per-host segment reads, cross-process
     sharded solve + fused members/derived, replicated conflict pass,
     partial-merged vcm/stats — must write outputs byte-identical to the
     single-process CLI (modulo the run-timestamp header line)."""
-    from fixtures import write_gtp
+    from fixtures import make_zoom_box, write_gtp
 
     from so_tpu.cli import main
 
     workdir = str(tmp_path)
     rng = np.random.default_rng(61)
-    clumps = [
-        dict(center=(0.1, 0.0, -0.1), n=1100, rmax=0.06, mass_total=0.2),
-        dict(center=(-0.25, 0.3, 0.2), n=700, rmax=0.04, mass_total=0.08),
-        dict(center=(0.12, 0.02, -0.08), n=400, rmax=0.03,
-             mass_total=0.03),   # overlaps clump 0 -> conflict activity
-    ]
-    d = make_clumpy_box(rng, n_background=2500, clumps=clumps)
-    if uniform:
-        d["mass"] = np.full(d["pos"].shape[0],
-                            np.float32(1.0 / d["pos"].shape[0]))
-    write_snapshot(f"{workdir}/snap.bin", d)
-    write_gtp(f"{workdir}/cat.gtp",
-              [c["center"] for c in clumps] + [(0.45, -0.4, 0.3)],
-              [0.05, 0.04, 0.03, 0.02], [0.2, 0.08, 0.03, 0.01])
+    if variant == "zoom":
+        d, split, zcenters, zrmax = make_zoom_box(rng, 2400, 600, 6)
+        write_snapshot(f"{workdir}/snap.bin", d, split=split)
+        write_gtp(f"{workdir}/cat.gtp", zcenters, zrmax,
+                  rng.uniform(0.01, 1.0, zcenters.shape[0]))
+    else:
+        clumps = [
+            dict(center=(0.1, 0.0, -0.1), n=1100, rmax=0.06,
+                 mass_total=0.2),
+            dict(center=(-0.25, 0.3, 0.2), n=700, rmax=0.04,
+                 mass_total=0.08),
+            dict(center=(0.12, 0.02, -0.08), n=400, rmax=0.03,
+                 mass_total=0.03),   # overlaps clump 0 -> conflicts
+        ]
+        d = make_clumpy_box(rng, n_background=2500, clumps=clumps)
+        if variant == "uniform":
+            d["mass"] = np.full(d["pos"].shape[0],
+                                np.float32(1.0 / d["pos"].shape[0]))
+        write_snapshot(f"{workdir}/snap.bin", d)
+        write_gtp(f"{workdir}/cat.gtp",
+                  [c["center"] for c in clumps] + [(0.45, -0.4, 0.3)],
+                  [0.05, 0.04, 0.03, 0.02], [0.2, 0.08, 0.03, 0.01])
     # --survey forces the classify pre-pass in BOTH runs: single-process
     # via engine.solver._classify_stage, distributed via
     # parallel.driver.dist_classify_fn (the cross-process kk-prefix
     # merge) — the byte-identity check below covers their equivalence
-    extra = ["-grp", "-gtp", "-subsumed", "-ignored", "-dark", "--survey"]
+    extra = (["-all"] if variant == "zoom" else ["-dark"]) \
+        + ["-grp", "-gtp", "-subsumed", "-ignored", "--survey"]
 
     assert main(["-i", f"{workdir}/cat.gtp", "--tipsy",
                  f"{workdir}/snap.bin", "-o", f"{workdir}/single"]
@@ -191,7 +204,9 @@ def test_distributed_cli_matches_single_process(tmp_path, uniform):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"DISTRIBUTED_CLI_OK pid={pid}" in out
 
-    for ext in ("sovcirc", "sogrp", "sosub", "soign", "sodark"):
+    exts = ("sovcirc", "sogrp", "sosub", "soign", "sodark") \
+        + (("sogas", "sostar") if variant == "zoom" else ())
+    for ext in exts:
         a = [l for l in open(f"{workdir}/single.{ext}", "rb").read()
              .splitlines() if not (l.startswith(b"# Run on")
                                    or b"written to" in l)]

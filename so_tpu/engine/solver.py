@@ -454,8 +454,13 @@ class SolveResult:
 
 # beyond this capacity the slab kernel output window would not fit in
 # VMEM (HPP x channels x (K+CHUNK) x 4B x 2 buffering levels vs ~16 MB);
-# such rare giant tiers fall back to the XLA gather path
-K_SLAB_MAX = 1 << 15
+# such rare giant tiers fall back to the XLA gather path. The budget was
+# sized for the 5-row fused stage (~10.6 MB at 2^15); narrower gathers
+# (1-row uniform solve, 2-row general solve) could in principle go to
+# 2^17/2^16 — SO_TPU_KSLAB overrides for on-device validation of that
+# (docs/ROADMAP.md queued item; do NOT raise the default blind: the
+# boundary is a device compile-time property)
+K_SLAB_MAX = int(os.environ.get("SO_TPU_KSLAB", 1 << 15))
 
 # --survey auto-gate (survey=None): catalogs below SURVEY_MIN_G halos skip
 # the pre-pass entirely (its dispatch would cost more than it saves); above

@@ -33,7 +33,19 @@ from so_tpu.io.tipsy import DARK_DTYPE, TipsyHeader, write_tipsy  # noqa: E402
 from tests.fixtures import write_gtp  # noqa: E402
 
 
+def _enable_compile_cache():
+    import jax
+
+    if (jax.default_backend() != "cpu"
+            and not jax.config.jax_compilation_cache_dir):
+        # (CPU excluded: this image's XLA:CPU AOT loader mis-reads its
+        # own cache entries; see tests/conftest.py)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/so_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(n_particles=2 ** 21, n_halos=4096):
+    _enable_compile_cache()
     rng = np.random.default_rng(777)
     pos, mass, vel, centers, rgtp = make_box(rng, n_particles, n_halos)
     work = tempfile.mkdtemp(prefix="so_scale_")

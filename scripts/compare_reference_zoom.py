@@ -50,7 +50,19 @@ OUTS = ["sovcirc", "sodark", "sogas", "sostar", "sogrp", "sogtp",
 EXACT = {"sogrp", "sosub", "soign"}
 
 
+def _enable_compile_cache():
+    import jax
+
+    if (jax.default_backend() != "cpu"
+            and not jax.config.jax_compilation_cache_dir):
+        # (CPU excluded: this image's XLA:CPU AOT loader mis-reads its
+        # own cache entries; see tests/conftest.py)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/so_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(n_hi=6 << 20, n_lo=1 << 20, n_halos=4096):
+    _enable_compile_cache()
     rng = np.random.default_rng(2026)
     t0 = time.perf_counter()
     data, split, centers, rmax = make_zoom_box(rng, n_hi, n_lo, n_halos,

@@ -454,13 +454,34 @@ class SolveResult:
 
 # beyond this capacity the slab kernel output window would not fit in
 # VMEM (HPP x channels x (K+CHUNK) x 4B x 2 buffering levels vs ~16 MB);
-# such rare giant tiers fall back to the XLA gather path. The budget was
-# sized for the 5-row fused stage (~10.6 MB at 2^15); narrower gathers
-# (1-row uniform solve, 2-row general solve) could in principle go to
-# 2^17/2^16 — SO_TPU_KSLAB overrides for on-device validation of that
-# (docs/ROADMAP.md queued item; do NOT raise the default blind: the
-# boundary is a device compile-time property)
-K_SLAB_MAX = int(os.environ.get("SO_TPU_KSLAB", 1 << 15))
+# such rare giant tiers fall back to the XLA gather path. The ceiling is
+# CHANNEL-AWARE: narrow gathers admit bigger K. The boundary is a device
+# compile-time property, so the table is hardware-validated, not derived:
+# nch=1 @ 2^17 and nch=2 @ 2^16 compile, run, and match the fallback
+# bit-for-bit on v5e (experiments/giant_kslab.py, 2026-08-18; giant-tier
+# solve 191 -> 154 ms on the 8x ~117k-member probe box); nch=3 @ 2^16 is
+# exercised by every production derived/members host-vcm pass. Wider
+# stages keep the 5-row-sized 2^15. SO_TPU_KSLAB overrides ALL counts
+# (experiments only).
+_KSLAB_ENV = (int(os.environ["SO_TPU_KSLAB"])
+              if "SO_TPU_KSLAB" in os.environ else None)
+K_SLAB_MAX = _KSLAB_ENV if _KSLAB_ENV is not None else 1 << 15
+
+
+def k_slab_max(nch: int) -> int:
+    """Slab-path capacity ceiling for an nch-row kernel output window
+    (nch counts d2 plus the requested channels)."""
+    if _KSLAB_ENV is not None:
+        return _KSLAB_ENV
+    return {1: 1 << 17, 2: 1 << 16, 3: 1 << 16}.get(nch, 1 << 15)
+
+
+def _solve_kslab(grid) -> int:
+    """Ceiling for the solve/classify stages: they gather d2 only on
+    uniform-mass grids (the ladder replaces the mass channel), d2+mass
+    otherwise."""
+    um = getattr(grid, "uniform_mass", None)
+    return k_slab_max(1 if um is not None else 2)
 
 # --survey auto-gate (survey=None): catalogs below SURVEY_MIN_G halos skip
 # the pre-pass entirely (its dispatch would cost more than it saves); above
@@ -500,14 +521,17 @@ def _level_groups(grid, radii: np.ndarray, s_max: int, K: int,
     return [(level, S, np.arange(radii.size))]
 
 
-def _stage_grid(grid, K: int):
+def _stage_grid(grid, K: int, k_slab: int | None = None):
     """Strip the Pallas payload for giant-K tiers (slab VMEM window).
 
-    On a deduplicated grid (build_grid dropped the per-particle arrays in
-    favor of the payload) the XLA fallback's arrays are first materialized
-    from the payload slices — a transient ~33 B/particle spike, cached on
-    the grid object so repeated giant-tier dispatches reuse it."""
-    if K > K_SLAB_MAX and getattr(grid, 'soa8t', None) is not None:
+    ``k_slab`` is the calling stage's channel-aware ceiling (k_slab_max);
+    None keeps the conservative 5-row K_SLAB_MAX. On a deduplicated grid
+    (build_grid dropped the per-particle arrays in favor of the payload)
+    the XLA fallback's arrays are first materialized from the payload
+    slices — a transient ~33 B/particle spike, cached on the grid object
+    so repeated giant-tier dispatches reuse it."""
+    if K > (K_SLAB_MAX if k_slab is None else k_slab) \
+            and getattr(grid, 'soa8t', None) is not None:
         import dataclasses
         if getattr(grid, "pos", None) is not None:
             return dataclasses.replace(grid, soa8t=None)
@@ -712,18 +736,19 @@ def _pad_to_bucket(n: int, buckets=(256, 1024, 4096)) -> int:
     return ((n + 4095) // 4096) * 4096
 
 
-def _chunk_for(K: int, slot_budget: int) -> int:
-    """Halos per dispatch. XLA-fallback tiers (K > K_SLAB_MAX) hold many
-    live (B, K) temporaries, so their B*K budget is much smaller."""
-    if K > K_SLAB_MAX:
+def _chunk_for(K: int, slot_budget: int, k_slab: int | None = None) -> int:
+    """Halos per dispatch. XLA-fallback tiers (K above the stage's slab
+    ceiling) hold many live (B, K) temporaries, so their B*K budget is
+    much smaller."""
+    if K > (K_SLAB_MAX if k_slab is None else k_slab):
         return max(1, min(64, (1 << 23) // K))
     return max(1, min(16384, (1 << 26) // K))
 
 
-def _pad_b(n: int, K: int) -> int:
+def _pad_b(n: int, K: int, k_slab: int | None = None) -> int:
     """Batch pad bucket; giant-K tiers keep B tiny so B*K slot buffers
     stay within HBM."""
-    if K > K_SLAB_MAX:
+    if K > (K_SLAB_MAX if k_slab is None else k_slab):
         return max(8, 1 << int(np.ceil(np.log2(max(n, 1)))))
     return _pad_to_bucket(n)
 
@@ -738,9 +763,10 @@ def _dispatch_chunks(sel: np.ndarray, K: int, slot_budget: int):
         yield lo, sel[lo:lo + chunk]
 
 
-def _pad_chunk(part_size: int, K: int, centers, radii):
+def _pad_chunk(part_size: int, K: int, centers, radii,
+               k_slab: int | None = None):
     """(B, padded centers, padded radii) for one dispatch chunk."""
-    B = _pad_b(part_size, K)
+    B = _pad_b(part_size, K, k_slab)
     c_pad = np.zeros((B, 3), np.float32)
     r_pad = np.zeros(B, np.float32)
     c_pad[:part_size] = centers
@@ -807,9 +833,13 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     --mesh and --distributed too.
     """
     default_stage = stage_fn is None
+    # channel-aware slab ceiling for the solve/classify gathers (1 row
+    # uniform-mass, 2 rows general) — giant tiers below it stay on the
+    # slab path instead of the XLA fallback
+    ks = _solve_kslab(grid)
     if stage_fn is None:
-        stage_fn = lambda level, K, *a: _solve_stage(_stage_grid(grid, K),
-                                                     level, K, *a)
+        stage_fn = lambda level, K, *a: _solve_stage(
+            _stage_grid(grid, K, ks), level, K, *a)
     G = centers.shape[0]
     period = np.asarray(grid.period, np.float32)
     centers = np.asarray(centers, np.float32)
@@ -965,14 +995,14 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
 
             def classify(part, radii, level, S):
                 B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
-                                             radii)
+                                             radii, ks)
                 t0 = _pc()
                 if classify_stage_fn is not None:
                     arr = np.asarray(classify_stage_fn(
                         level, K, S, n_members, c_pad, r_pad, thr_vec))
                 else:
                     arr = np.asarray(_classify_stage(
-                        _stage_grid(grid, K), level, K, S, n_members,
+                        _stage_grid(grid, K, ks), level, K, S, n_members,
                         jnp.asarray(c_pad), jnp.asarray(r_pad), thr_vec,
                         T=1))
                 _dbg_stage("classify", t0, B=B, K=K, S=S, level=level,
@@ -1018,7 +1048,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         # big halos dispatch at coarser levels
         live = np.nonzero(~resolved)[0]
         K = int(min(k0_cap, _k_limit(grid, s_max)))
-        K2 = int(min(K_SLAB_MAX, _k_limit(grid, s_max), 8 * K))
+        K2 = int(min(ks, _k_limit(grid, s_max), 8 * K))
         B2 = fused_b2   # tier-2 rows per dispatch; halos beyond this
         #                 spill into the classic escalation rounds
         k_eff_l = np.minimum(cur_k[live], kmax[live])
@@ -1054,7 +1084,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 kl_zero = True
             for lo, part in _dispatch_chunks(sel, K, slot_budget):
                 B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
-                                             radii[lo:lo + part.size])
+                                             radii[lo:lo + part.size], ks)
                 kl_pad = np.zeros(B, np.int32)
                 if not kl_zero:
                     kl_pad[:part.size] = kmax[part] \
@@ -1112,7 +1142,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 for lo, part in _dispatch_chunks(sel, K, slot_budget):
                     B, c_pad, r_pad = _pad_chunk(
                         part.size, K, centers[part],
-                        radii[lo:lo + part.size])
+                        radii[lo:lo + part.size], ks)
                     t0 = _pc()
                     packed = stage_fn(level, K, S, n_members,
                                       jnp.asarray(c_pad),

@@ -481,3 +481,48 @@ def test_uniform_cum_giant_fallback_matches_ladder(monkeypatch):
     got, lad2 = solver._uniform_cum(m, K, n_in, live)
     assert lad2 is None
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_channel_aware_slab_ceiling():
+    """k_slab_max is the hardware-validated per-channel-count table
+    (experiments/giant_kslab.py: nch=1 @ 2^17 and nch=2 @ 2^16 compile,
+    run, and bit-match the XLA fallback on v5e); _stage_grid keeps the
+    payload up to the caller's ceiling and strips it above; the batch
+    heuristics classify slab/fallback tiers by the same ceiling."""
+    from so_tpu.engine import solver
+    from so_tpu.ops import build_grid
+
+    assert solver.k_slab_max(1) == 1 << 17
+    assert solver.k_slab_max(2) == 1 << 16
+    assert solver.k_slab_max(3) == 1 << 16
+    assert solver.k_slab_max(4) == 1 << 15   # 5-row-sized conservative
+    assert solver.k_slab_max(5) == 1 << 15
+    assert solver.K_SLAB_MAX == 1 << 15      # legacy default untouched
+
+    rng = np.random.default_rng(7)
+    N = 400
+    pos = rng.uniform(-0.5, 0.5, (N, 3)).astype(np.float32)
+    g_u = build_grid(pos, np.full(N, 2e-6, np.float32), pallas=True)
+    g_g = build_grid(pos, rng.uniform(1, 2, N).astype(np.float32),
+                     pallas=True)
+    assert g_u.uniform_mass is not None and g_g.uniform_mass is None
+    assert solver._solve_kslab(g_u) == 1 << 17
+    assert solver._solve_kslab(g_g) == 1 << 16
+
+    # payload survives between the legacy and channel-aware ceilings...
+    K_mid = (1 << 15) + 1
+    assert solver._stage_grid(g_u, K_mid, solver._solve_kslab(g_u)).soa8t \
+        is not None
+    # ...and is stripped above the stage ceiling
+    assert solver._stage_grid(g_u, (1 << 17) + 1,
+                              solver._solve_kslab(g_u)).soa8t is None
+    # default (no ceiling arg) keeps the conservative behavior
+    assert solver._stage_grid(g_u, K_mid).soa8t is None
+
+    # batch heuristics follow the same classification
+    assert solver._chunk_for(K_mid, 1 << 26) == \
+        solver._chunk_for(K_mid, 1 << 26, None)
+    assert solver._chunk_for(K_mid, 1 << 26, 1 << 17) > \
+        solver._chunk_for(K_mid, 1 << 26, None)
+    assert solver._pad_b(3, K_mid, 1 << 17) == solver._pad_b(3, 1024)
+    assert solver._pad_b(3, K_mid) == 8

@@ -199,7 +199,13 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
     (parallel.mesh.sharded_derived_fn) injects its shard_map stage here.
     """
     from .solver import (_chunk_for, _k_limit, _level_groups, _pad_b,
-                         _pad_to_bucket, _pick_level_span, _stage_grid)
+                         _pad_to_bucket, _pick_level_span, _stage_grid,
+                         k_slab_max)
+
+    # channel-aware slab VMEM ceiling for this stage's kernel rows:
+    # d2 [+ mass unless uniform] [+ meta when species]
+    k_slab = k_slab_max(1 + (0 if getattr(grid, "uniform_mass", None)
+                             is not None else 1) + (1 if species else 0))
 
     G = centers.shape[0]
     out = DerivedResult(
@@ -234,13 +240,13 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
         for capacity in np.unique(need_cap[todo]):
             sel0 = todo[need_cap[todo] == capacity]
             K = int(min(capacity, _k_limit(grid, s_max)))
-            chunk = _chunk_for(K, slot_budget)
+            chunk = _chunk_for(K, slot_budget, k_slab)
             for level, S, bidx in _level_groups(
                     grid, (2.0 * rvir[sel0]).astype(np.float32), s_max, K):
               sel = sel0[bidx]
               for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
-                B = _pad_b(part.size, K)
+                B = _pad_b(part.size, K, k_slab)
                 c_pad = np.zeros((B, 3), np.float32)
                 r_pad = np.full(B, 1e-30, np.float32)
                 m_pad = np.zeros(B, np.float32)
@@ -255,11 +261,7 @@ def compute_derived(grid: CellGrid, centers: np.ndarray, rvir: np.ndarray,
                                  jnp.asarray(c_pad), jnp.asarray(r_pad),
                                  jnp.asarray(m_pad), grav32)
                 else:
-                    # 3-channel gathers (d2, mass, meta) fit the slab
-                    # kernel's VMEM window up to K=2^16 (the global
-                    # K_SLAB_MAX=2^15 is sized for wider stages)
-                    o = _derived_stage(_stage_grid(grid, K if K <= (1 << 16)
-                                                   else (1 << 30)),
+                    o = _derived_stage(_stage_grid(grid, K, k_slab),
                                        level, K, S, n_members, species,
                                        jnp.asarray(c_pad), jnp.asarray(r_pad),
                                        jnp.asarray(m_pad), grav32)

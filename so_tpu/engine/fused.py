@@ -135,7 +135,13 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
     member rows) lists; the full array stays a per-chunk transient.
     """
     from .solver import (_chunk_for, _k_limit, _level_groups, _pad_b,
-                         _pick_level_span, _stage_grid)
+                         _pick_level_span, _stage_grid, k_slab_max)
+
+    # channel-aware slab VMEM ceiling for THIS stage's kernel rows:
+    # d2 + idx(2) [+ mass unless uniform] [+ meta when species] — see
+    # _fused_stage's channel tuple and solver.k_slab_max's validation
+    k_slab = k_slab_max(3 + (0 if getattr(grid, "uniform_mass", None)
+                             is not None else 1) + (1 if species else 0))
 
     G = centers.shape[0]
     vcm = np.zeros((G, 3), np.float32)
@@ -220,7 +226,6 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
         # extra B*dK slots are cheaper than a dispatch, capped at the
         # slab VMEM ceiling so no halo is pushed onto the XLA fallback.
         MERGE_SLOTS = 32 * 1024 * 1024
-        k_slab = (1 << 15) if not species else (1 << 14)
         caps = np.unique(need_cap)
         for c, nxt in zip(caps[:-1], caps[1:]):
             if nxt > k_slab:
@@ -247,13 +252,13 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
         for capacity in np.unique(need_cap[todo]):
             sel0 = todo[need_cap[todo] == capacity]
             K = int(min(capacity, max(512, _k_limit(grid, s_max))))
-            chunk = _chunk_for(K, slot_budget)
+            chunk = _chunk_for(K, slot_budget, k_slab)
             for level, S, bidx in _level_groups(grid, 2.0 * rvir[sel0],
                                                 s_max, K):
               sel = sel0[bidx]
               for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
-                B = _pad_b(part.size, K)
+                B = _pad_b(part.size, K, k_slab)
                 c_pad = np.zeros((B, 3), np.float32)
                 r_pad = np.full(B, 1e-30, np.float32)
                 j_pad = np.zeros(B, np.int32)
@@ -273,12 +278,8 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                                        jnp.asarray(j_pad),
                                        jnp.asarray(m_pad), grav32)
                 else:
-                    # slab VMEM ceiling: 5 output rows (no species) fit the
-                    # double-buffered window to K=2^15 (~10.6 MB); the
-                    # 6-row species variant stays at 2^14
-                    k_slab = (1 << 15) if not species else (1 << 14)
                     out_dev = _fused_stage(
-                        _stage_grid(grid, K if K <= k_slab else (1 << 30)),
+                        _stage_grid(grid, K, k_slab),
                         level, K, S, cap, n_members, species,
                         jnp.asarray(c_pad), jnp.asarray(r_pad),
                         jnp.asarray(j_pad), jnp.asarray(m_pad), grav32)

@@ -162,24 +162,23 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
     here and reuses this escalation driver unchanged.
     """
     from .solver import (_chunk_for, _k_limit, _level_groups, _pad_b,
-                         _pad_to_bucket, _pick_level_span, _stage_grid)
+                         _pad_to_bucket, _pick_level_span, _stage_grid,
+                         k_slab_max)
 
     use_host_vcm = host_mv is not None and stage_fn is None
+    # channel-aware slab VMEM ceiling (solver.k_slab_max): the host-vcm
+    # variant gathers 3 kernel rows (d2 + split idx); the in-kernel-vcm
+    # variant — and the injected sharded stage, which gathers per-shard
+    # m*v too (mesh.members_stage_sharded) — 6 (d2 + m*v + split idx)
+    k_slab = k_slab_max(3 if use_host_vcm else 6)
     if stage_fn is None:
         if use_host_vcm:
-            # 3-operand gather (d2 + split idx): slab VMEM fits K=2^16
             stage_fn = lambda level, K, S, *a: _members_stage(
-                _stage_grid(grid, K if K <= (1 << 16) else (1 << 30)),
+                _stage_grid(grid, K, k_slab),
                 level, K, S, *a, with_mv=False)
         else:
-            # the 6-channel member gather (d2 + m*v + split idx) has a
-            # smaller VMEM-safe slab capacity than the 2-channel solve
-            # stage: the out window is HPP*6*(K+CHUNK)*4B double-buffered
-            # against the 16 MB scoped VMEM limit
-            K_MEMBERS_SLAB_MAX = 1 << 14
             stage_fn = lambda level, K, S, *a: _members_stage(
-                _stage_grid(grid, K if K <= K_MEMBERS_SLAB_MAX
-                            else (1 << 30)), level, K, S, *a)
+                _stage_grid(grid, K, k_slab), level, K, S, *a)
 
     if getattr(grid, "soa8t", None) is not None:
         s_max = min(s_max, 7)
@@ -218,12 +217,12 @@ def extract_members(grid: CellGrid, centers: np.ndarray, d2cut: np.ndarray,
         for capacity in np.unique(need_cap[todo]):
             sel0 = todo[need_cap[todo] == capacity]
             K = int(min(capacity, max(512, _k_limit(grid, s_max))))
-            chunk = _chunk_for(K, slot_budget)
+            chunk = _chunk_for(K, slot_budget, k_slab)
             for level, S, bidx in _level_groups(grid, cover[sel0], s_max, K):
               sel = sel0[bidx]
               for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
-                B = _pad_b(part.size, K)
+                B = _pad_b(part.size, K, k_slab)
                 c_pad = np.zeros((B, 3), np.float32)
                 r_pad = np.zeros(B, np.float32)
                 d_pad = np.zeros(B, np.float32)

@@ -101,9 +101,12 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
     thr_dev = jnp.asarray(thresholds)
     injected = stage_fn is not None    # the classifier needs direct grid
     #                                    access: single-device path only
+    # channel-aware slab ceiling: the multi stage gathers like the solve
+    # (d2 only on uniform-mass grids, d2+mass otherwise)
+    ks = _solver._solve_kslab(grid)
     if stage_fn is None:
         stage_fn = lambda level, K, S, nm, T_, c, r: _multi_stage(
-            _stage_grid(grid, K), level, K, S, nm, T_, c, r, thr_dev)
+            _stage_grid(grid, K, ks), level, K, S, nm, T_, c, r, thr_dev)
     if getattr(grid, "soa8t", None) is not None:
         s_max = min(s_max, 7)
 
@@ -144,7 +147,7 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                         np.asarray(thr_dev)))
                 else:
                     arr = np.asarray(_classify_stage(
-                        _stage_grid(grid, K), level, K, S, n_members,
+                        _stage_grid(grid, K, ks), level, K, S, n_members,
                         jnp.asarray(c_pad), jnp.asarray(r_pad), thr_dev,
                         T=T))
                 w0 = arr[:part.size, 0]
@@ -191,13 +194,13 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
             K = int(min(capacity, _k_limit(grid, s_max)))
             k_eff0 = np.minimum(cur_k[sel0], kmax[sel0])
             radii0 = ladder_radius(rgtp[sel0], k_eff0)
-            chunk = _chunk_for(K, slot_budget)
+            chunk = _chunk_for(K, slot_budget, ks)
             for level, S, bidx in _solver._level_groups(grid, radii0,
                                                         s_max, K):
               sel, k_eff_b, radii = sel0[bidx], k_eff0[bidx], radii0[bidx]
               for lo in range(0, sel.size, chunk):
                 part = sel[lo:lo + chunk]
-                B = _pad_b(part.size, K)
+                B = _pad_b(part.size, K, ks)
                 c_pad = np.zeros((B, 3), np.float32)
                 r_pad = np.zeros(B, np.float32)
                 c_pad[:part.size] = centers[part]

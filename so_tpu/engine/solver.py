@@ -470,10 +470,17 @@ K_SLAB_MAX = _KSLAB_ENV if _KSLAB_ENV is not None else 1 << 15
 
 def k_slab_max(nch: int) -> int:
     """Slab-path capacity ceiling for an nch-row kernel output window
-    (nch counts d2 plus the requested channels)."""
+    (nch counts d2 plus the requested channels). Every entry's window is
+    at or below a size proven on hardware: 1-row @ 2^17 (8.4 MB) and
+    2-row @ 2^16 (8.4 MB) by the giant_kslab probe, 3-row @ 2^16
+    (12.6 MB) by every production derived/members-host-vcm pass, and
+    4/5-row @ 2^15 (8.5/10.6 MB) by the fused members pass; >= 6 rows
+    stay at 2^14 (a 6-row 2^15 window would be 12.68 MB, fractionally
+    past the largest proven size)."""
     if _KSLAB_ENV is not None:
         return _KSLAB_ENV
-    return {1: 1 << 17, 2: 1 << 16, 3: 1 << 16}.get(nch, 1 << 15)
+    return {1: 1 << 17, 2: 1 << 16, 3: 1 << 16,
+            4: 1 << 15, 5: 1 << 15}.get(nch, 1 << 14)
 
 
 def _solve_kslab(grid) -> int:

@@ -497,6 +497,7 @@ def test_channel_aware_slab_ceiling():
     assert solver.k_slab_max(3) == 1 << 16
     assert solver.k_slab_max(4) == 1 << 15   # 5-row-sized conservative
     assert solver.k_slab_max(5) == 1 << 15
+    assert solver.k_slab_max(6) == 1 << 14   # 6-row members gather
     assert solver.K_SLAB_MAX == 1 << 15      # legacy default untouched
 
     rng = np.random.default_rng(7)

@@ -453,16 +453,15 @@ class SolveResult:
 
 
 # beyond this capacity the slab kernel output window would not fit in
-# VMEM (HPP x channels x (K+CHUNK) x 4B x 2 buffering levels vs ~16 MB);
-# such rare giant tiers fall back to the XLA gather path. The ceiling is
-# CHANNEL-AWARE: narrow gathers admit bigger K. The boundary is a device
-# compile-time property, so the table is hardware-validated, not derived:
-# nch=1 @ 2^17 and nch=2 @ 2^16 compile, run, and match the fallback
-# bit-for-bit on v5e (experiments/giant_kslab.py, 2026-08-18; giant-tier
-# solve 191 -> 154 ms on the 8x ~117k-member probe box); nch=3 @ 2^16 is
-# exercised by every production derived/members host-vcm pass. Wider
-# stages keep the 5-row-sized 2^15. SO_TPU_KSLAB overrides ALL counts
-# (experiments only).
+# VMEM even at one halo per program; such rare giant tiers fall back to
+# the XLA gather path. The kernel halves its per-program halo count
+# (pallas_gather HPP -> hpp) until the output window is at or below the
+# hardware-proven W_MAX (the 2-row K=2^16 giant_kslab probe window;
+# wider windows compile-OOM the Mosaic scoped-VMEM stack — observed at
+# 5-row K=2^15 x HPP=8 on the zoom parity run, 2026-08-19), so the K
+# ceiling is CHANNEL-INDEPENDENT: at hpp=1 every nch <= 8 fits K=2^17
+# (8 x (2^17 + 256) x 4 B = W_MAX exactly). SO_TPU_KSLAB overrides ALL
+# counts (experiments only).
 _KSLAB_ENV = (int(os.environ["SO_TPU_KSLAB"])
               if "SO_TPU_KSLAB" in os.environ else None)
 K_SLAB_MAX = _KSLAB_ENV if _KSLAB_ENV is not None else 1 << 15
@@ -470,17 +469,15 @@ K_SLAB_MAX = _KSLAB_ENV if _KSLAB_ENV is not None else 1 << 15
 
 def k_slab_max(nch: int) -> int:
     """Slab-path capacity ceiling for an nch-row kernel output window
-    (nch counts d2 plus the requested channels). Every entry's window is
-    at or below a size proven on hardware: 1-row @ 2^17 (8.4 MB) and
-    2-row @ 2^16 (8.4 MB) by the giant_kslab probe, 3-row @ 2^16
-    (12.6 MB) by every production derived/members-host-vcm pass, and
-    4/5-row @ 2^15 (8.5/10.6 MB) by the fused members pass; >= 6 rows
-    stay at 2^14 (a 6-row 2^15 window would be 12.68 MB, fractionally
-    past the largest proven size)."""
+    (nch counts d2 plus the requested channels). The kernel scales halos
+    per program down to keep the VMEM window within the hardware-proven
+    bound (pallas_gather.W_MAX), so every production width (nch <= 8)
+    admits K = 2^17; the giant_kslab probe validated the 1-row and 2-row
+    instantiations at this K on v5e."""
     if _KSLAB_ENV is not None:
         return _KSLAB_ENV
-    return {1: 1 << 17, 2: 1 << 16, 3: 1 << 16,
-            4: 1 << 15, 5: 1 << 15}.get(nch, 1 << 14)
+    assert nch <= 8, nch
+    return 1 << 17
 
 
 def _solve_kslab(grid) -> int:

@@ -57,6 +57,17 @@ CHUNK_FORCED = "SO_TPU_CHUNK" in _os.environ
 HPP = 8              # halos per grid program: 4 -> 8 gained 9% on v5e
 #                      (fewer program switches); 16 regressed (VMEM window
 #                      pressure) — measured on the 2M-particle bench
+
+# Largest per-program output window (HPP x nch x Kp x 4 B) proven to
+# compile and run on hardware: the 2-row K=2^16 giant-solve probe
+# (experiments/giant_kslab.py, v5e 2026-08-18; 8 x 2 x 65792 x 4). The
+# Mosaic scoped-VMEM stack holds ~3 copies of the window (+ ~1 MB fixed)
+# against a 16 MB limit, so a 5-row K=2^15 window at HPP=8 (5.02 MiB)
+# overflows by 96 KiB (observed on the zoom parity run, 2026-08-19).
+# pallas_slab_gather halves the per-program halo count until the window
+# fits — wide-channel giant tiers then stay on the slab path instead of
+# falling back to the ~100x slower XLA gather.
+W_MAX = 8 * 2 * ((1 << 16) + 256) * 4
 NBUF = 8             # DMA ring depth: per-chunk compute (~100 ns) is far
 #                      below DMA latency (~1 us), so the pipeline must keep
 #                      several transfers in flight to stay bandwidth-bound
@@ -115,7 +126,7 @@ def chunk_descriptors(st, cnt, q, K: int, CHUNK: int = CHUNK):
     return a0, lo, hi, n_total
 
 
-def _make_kernel(chans: tuple, CHUNK: int = CHUNK):
+def _make_kernel(chans: tuple, CHUNK: int = CHUNK, hpp: int = HPP):
     """Kernel emitting only the requested channels (d2 is always row 0).
 
     Channel names: mass, mvx, mvy, mvz, meta and ilo/ihi (split source-row
@@ -133,7 +144,7 @@ def _make_kernel(chans: tuple, CHUNK: int = CHUNK):
                        out_ref, scratch, sem):
         Kp = out_ref.shape[2]
 
-        for h in range(HPP):
+        for h in range(hpp):
             cx, cy, cz = (center_ref[0, h, 0], center_ref[0, h, 1],
                           center_ref[0, h, 2])
             r2 = center_ref[0, h, 3]
@@ -237,13 +248,19 @@ def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int,
     NC = (K + CHUNK) // CHUNK
     Kp = NC * CHUNK
     nch = 1 + len(chans)
+    # halve the per-program halo count until the VMEM output window fits
+    # the hardware-proven bound — wide channels and giant K then trade
+    # program-switch overhead for staying on the slab path at all
+    hpp = HPP
+    while hpp > 1 and hpp * nch * Kp * 4 > W_MAX:
+        hpp //= 2
     a0, lo, hi, n_total = chunk_descriptors(starts, cnts, qs, K, CHUNK)
     cp = jnp.concatenate([
         centers.astype(jnp.float32), r2[:, None].astype(jnp.float32),
         jnp.broadcast_to(period[None, :].astype(jnp.float32), (B, 3)),
         n_total[:, None].astype(jnp.float32)], axis=1)    # (B, 8)
-    # pad the batch to a multiple of HPP (pad halos have n_chunks = 0)
-    Bp = -(-B // HPP) * HPP
+    # pad the batch to a multiple of hpp (pad halos have n_chunks = 0)
+    Bp = -(-B // hpp) * hpp
     if Bp != B:
         padn = Bp - B
         a0 = jnp.concatenate([a0, jnp.zeros((padn, NC), a0.dtype)])
@@ -252,17 +269,17 @@ def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int,
         cp = jnp.concatenate([cp, jnp.ones((padn, 8), cp.dtype)
                               .at[:, 7].set(0.0)])
     out = pl.pallas_call(
-        _make_kernel(chans, CHUNK),
+        _make_kernel(chans, CHUNK, hpp),
         interpret=jax.default_backend() == "cpu",   # CI runs on CPU
-        grid=(Bp // HPP,),
+        grid=(Bp // hpp,),
         in_specs=[
-            pl.BlockSpec((1, HPP, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, HPP, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, HPP, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, HPP, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hpp, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hpp, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hpp, NC), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hpp, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),          # SoA stays in HBM
         ],
-        out_specs=pl.BlockSpec((HPP, nch, Kp), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((hpp, nch, Kp), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, nch, Kp), jnp.float32),
         scratch_shapes=[
@@ -271,8 +288,8 @@ def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int,
             pltpu.SemaphoreType.DMA((2 if jax.default_backend() == "cpu"
                                      else NBUF,)),
         ],
-    )(a0.reshape(Bp // HPP, HPP, NC), lo.reshape(Bp // HPP, HPP, NC),
-      hi.reshape(Bp // HPP, HPP, NC), cp.reshape(Bp // HPP, HPP, 8), soa8t)
+    )(a0.reshape(Bp // hpp, hpp, NC), lo.reshape(Bp // hpp, hpp, NC),
+      hi.reshape(Bp // hpp, hpp, NC), cp.reshape(Bp // hpp, hpp, 8), soa8t)
     return out[:B, :, :K]
 
 

@@ -194,3 +194,38 @@ def test_uniform_mass_slab_paths_match_general(tmp_path):
         np.testing.assert_array_equal(res["u"][2].profiles[sp],
                                       res["g"][2].profiles[sp])
     np.testing.assert_array_equal(res["u"][2].rmass, res["g"][2].rmass)
+
+
+def test_hpp_window_scaling_bit_identical(small_grid, monkeypatch):
+    """Wide/giant output windows halve the per-program halo count (hpp)
+    instead of falling off the slab path; shrinking the proven window
+    bound to force hpp=1 must not change a single output bit (only the
+    program grid layout moves)."""
+    import jax
+
+    from so_tpu.ops import pallas_gather as pg
+
+    grid, rng = small_grid
+    B, K, S = 6, 4096, 5
+    centers = rng.uniform(-0.5, 0.5, (B, 3)).astype(np.float32)
+    radii = rng.uniform(0.05, 0.3, B).astype(np.float32)
+    r2 = radii * radii
+
+    chans = ("mass", "mv", "meta", "idx")
+    base = slab_gather(grid, 1, centers, radii, r2, K, S, channels=chans)
+    nch = 8  # d2 + mass + 3 mv + meta + 2 idx
+    kp = -(-K // grid.chunk) * grid.chunk + grid.chunk
+    # bound small enough that only hpp=1 fits this window
+    monkeypatch.setattr(pg, "W_MAX", nch * kp * 4)
+    jax.clear_caches()   # drop the cached trace (W_MAX is read at trace)
+    try:
+        forced = slab_gather(grid, 1, centers, radii, r2, K, S,
+                             channels=chans)
+    finally:
+        monkeypatch.undo()
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(base.d2), np.asarray(forced.d2))
+    np.testing.assert_array_equal(np.asarray(base.n_in),
+                                  np.asarray(forced.n_in))
+    for a, b in zip(base.channels, forced.channels):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

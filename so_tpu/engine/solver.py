@@ -460,8 +460,9 @@ class SolveResult:
 # wider windows compile-OOM the Mosaic scoped-VMEM stack — observed at
 # 5-row K=2^15 x HPP=8 on the zoom parity run, 2026-08-19), so the K
 # ceiling is CHANNEL-INDEPENDENT: at hpp=1 every nch <= 8 fits K=2^17
-# (8 x (2^17 + 256) x 4 B = W_MAX exactly). SO_TPU_KSLAB overrides ALL
-# counts (experiments only).
+# (8 x (2^17 + 256) x 4 B = 4,202,496 B, within W_MAX = 4,210,688 B
+# with 8 KiB slack). SO_TPU_KSLAB overrides ALL counts (experiments
+# only).
 _KSLAB_ENV = (int(os.environ["SO_TPU_KSLAB"])
               if "SO_TPU_KSLAB" in os.environ else None)
 K_SLAB_MAX = _KSLAB_ENV if _KSLAB_ENV is not None else 1 << 15
@@ -472,8 +473,9 @@ def k_slab_max(nch: int) -> int:
     (nch counts d2 plus the requested channels). The kernel scales halos
     per program down to keep the VMEM window within the hardware-proven
     bound (pallas_gather.W_MAX), so every production width (nch <= 8)
-    admits K = 2^17; the giant_kslab probe validated the 1-row and 2-row
-    instantiations at this K on v5e."""
+    admits K = 2^17; the giant_kslab probe validated the 1-row window at
+    K=2^17 and the 2-row window at K=2^16 on v5e (equal-or-smaller
+    windows at every other width follow from the W_MAX bound)."""
     if _KSLAB_ENV is not None:
         return _KSLAB_ENV
     assert nch <= 8, nch

@@ -254,6 +254,16 @@ def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int,
     hpp = HPP
     while hpp > 1 and hpp * nch * Kp * 4 > W_MAX:
         hpp //= 2
+    if nch * Kp * 4 > W_MAX:
+        # even one halo per program overflows the proven VMEM window —
+        # reachable only via SO_TPU_KSLAB/SO_TPU_CHUNK overrides or a
+        # caller bypassing solver.k_slab_max. Fail loudly here instead of
+        # compile-OOMing the device (which wedges the remote tunnel).
+        raise ValueError(
+            f"slab output window {nch}x{Kp}x4B = {nch * Kp * 4} B exceeds "
+            f"the proven VMEM bound W_MAX={W_MAX} B even at one halo per "
+            f"program; route this tier to the XLA fallback "
+            f"(solver.k_slab_max) or lower K")
     a0, lo, hi, n_total = chunk_descriptors(starts, cnts, qs, K, CHUNK)
     cp = jnp.concatenate([
         centers.astype(jnp.float32), r2[:, None].astype(jnp.float32),

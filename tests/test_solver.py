@@ -484,21 +484,34 @@ def test_uniform_cum_giant_fallback_matches_ladder(monkeypatch):
 
 
 def test_channel_aware_slab_ceiling():
-    """k_slab_max is the hardware-validated per-channel-count table
-    (experiments/giant_kslab.py: nch=1 @ 2^17 and nch=2 @ 2^16 compile,
-    run, and bit-match the XLA fallback on v5e); _stage_grid keeps the
-    payload up to the caller's ceiling and strips it above; the batch
-    heuristics classify slab/fallback tiers by the same ceiling."""
-    from so_tpu.engine import solver
-    from so_tpu.ops import build_grid
+    """k_slab_max is channel-independent (flat 2^17 for every production
+    width nch <= 8): pallas_slab_gather halves its per-program halo count
+    until the VMEM output window fits the hardware-proven W_MAX, so the
+    widest window any stage can request (hpp=1, nch=8, K=2^17) still
+    fits. _stage_grid keeps the payload up to the caller's ceiling and
+    strips it above; the batch heuristics classify slab/fallback tiers
+    by the same ceiling."""
+    import pytest
 
-    assert solver.k_slab_max(1) == 1 << 17
-    assert solver.k_slab_max(2) == 1 << 16
-    assert solver.k_slab_max(3) == 1 << 16
-    assert solver.k_slab_max(4) == 1 << 15   # 5-row-sized conservative
-    assert solver.k_slab_max(5) == 1 << 15
-    assert solver.k_slab_max(6) == 1 << 14   # 6-row members gather
+    from so_tpu.engine import solver
+    from so_tpu.ops import build_grid, pallas_gather
+
+    for nch in range(1, 9):
+        assert solver.k_slab_max(nch) == 1 << 17
+    with pytest.raises(AssertionError):
+        solver.k_slab_max(9)
     assert solver.K_SLAB_MAX == 1 << 15      # legacy default untouched
+
+    # the halving math: at every (nch, K <= k_slab_max(nch)) the kernel
+    # finds an hpp >= 1 whose output window fits the proven W_MAX
+    CHUNK = pallas_gather.CHUNK
+    for nch in range(1, 9):
+        K = solver.k_slab_max(nch)
+        Kp = ((K + CHUNK) // CHUNK) * CHUNK
+        hpp = pallas_gather.HPP
+        while hpp > 1 and hpp * nch * Kp * 4 > pallas_gather.W_MAX:
+            hpp //= 2
+        assert hpp * nch * Kp * 4 <= pallas_gather.W_MAX, (nch, K, hpp)
 
     rng = np.random.default_rng(7)
     N = 400
@@ -508,12 +521,14 @@ def test_channel_aware_slab_ceiling():
                      pallas=True)
     assert g_u.uniform_mass is not None and g_g.uniform_mass is None
     assert solver._solve_kslab(g_u) == 1 << 17
-    assert solver._solve_kslab(g_g) == 1 << 16
+    assert solver._solve_kslab(g_g) == 1 << 17
 
-    # payload survives between the legacy and channel-aware ceilings...
+    # payload survives between the legacy and stage ceilings...
     K_mid = (1 << 15) + 1
     assert solver._stage_grid(g_u, K_mid, solver._solve_kslab(g_u)).soa8t \
         is not None
+    assert solver._stage_grid(g_u, 1 << 17,
+                              solver._solve_kslab(g_u)).soa8t is not None
     # ...and is stripped above the stage ceiling
     assert solver._stage_grid(g_u, (1 << 17) + 1,
                               solver._solve_kslab(g_u)).soa8t is None

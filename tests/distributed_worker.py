@@ -85,23 +85,33 @@ cover = np.nextafter(np.sqrt(d2cut.astype(np.float64)).astype(np.float32),
 jarr = np.where(found, res["jstar"], 0).astype(np.int32)
 mvir = np.where(found, res["mvir"], 1.0).astype(np.float32)
 
-orig, vcm, n_in_m, ovf_m = members_stage_sharded(
+orig, n_in_m, ovf_m = members_stage_sharded(
     mesh, sgrid, 1, 2048, 7,
     make_global(mesh, P("halo"), np.where(found, centers.T, 0.0).T
                 .astype(np.float32)),
     make_global(mesh, P("halo"), np.where(found, cover, 1e-30)
                 .astype(np.float32)),
     make_global(mesh, P("halo"), d2cut),
-    make_global(mesh, P("halo"), jarr),
-    make_global(mesh, P("halo"), mvir))
+    make_global(mesh, P("halo"), jarr))
 assert not fetch_sharded(ovf_m).any()
 orig_np = fetch_sharded(orig)
-vcm_np = fetch_sharded(vcm)
 members = []
 for g in range(centers.shape[0]):
     rows = orig_np[g]
     members.append(rows[rows >= 0][:jarr[g]].astype(np.int64)
                    if found[g] else None)
+
+# vcm from the member lists via per-segment partials merged across the
+# two processes — the ONE _VcmParticles accumulation order
+# (parallel.driver.dist_vcm_fn over engine.members.member_mv_sums)
+from so_tpu.parallel.driver import dist_vcm_fn  # noqa: E402
+
+mcounts_all = np.array([0 if m is None else m.size for m in members],
+                       np.int64)
+rows_all = (np.concatenate([m for m in members if m is not None and m.size])
+            if mcounts_all.sum() else np.zeros(0, np.int64))
+vcm_np = dist_vcm_fn(pset.vel * pset.mass[:, None], start)(
+    rows_all, mcounts_all, mvir)
 
 # sharded checkpoint round-trip across the two processes
 solve = SolveResult(

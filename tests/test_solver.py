@@ -485,17 +485,21 @@ def test_uniform_cum_giant_fallback_matches_ladder(monkeypatch):
 
 def test_channel_aware_slab_ceiling():
     """k_slab_max is channel-independent (flat 2^17 for every production
-    width nch <= 8): pallas_slab_gather halves its per-program halo count
-    until the VMEM output window fits the hardware-proven W_MAX, so the
-    widest window any stage can request (hpp=1, nch=8, K=2^17) still
-    fits. _stage_grid keeps the payload up to the caller's ceiling and
-    strips it above; the batch heuristics classify slab/fallback tiers
-    by the same ceiling."""
+    width nch <= 8 on v5e-class budgets): pallas_slab_gather halves its
+    per-program halo count until the VMEM output window fits the device's
+    proven bound w_max(), so the widest window any stage can request
+    (hpp=1, nch=8, K=2^17) still fits. On a smaller probed budget the
+    ceiling scales down with it. _stage_grid keeps the payload up to the
+    caller's ceiling and strips it above; the batch heuristics classify
+    slab/fallback tiers by the same ceiling."""
     import pytest
 
     from so_tpu.engine import solver
     from so_tpu.ops import build_grid, pallas_gather
 
+    # CPU backend (conftest): w_max() resolves to the conservative
+    # default = the v5e-proven window, so the ceiling is the full 2^17
+    assert pallas_gather.w_max() == pallas_gather.W_MAX_DEFAULT
     for nch in range(1, 9):
         assert solver.k_slab_max(nch) == 1 << 17
     with pytest.raises(AssertionError):
@@ -503,15 +507,27 @@ def test_channel_aware_slab_ceiling():
     assert solver.K_SLAB_MAX == 1 << 15      # legacy default untouched
 
     # the halving math: at every (nch, K <= k_slab_max(nch)) the kernel
-    # finds an hpp >= 1 whose output window fits the proven W_MAX
+    # finds an hpp >= 1 whose output window fits the proven bound
     CHUNK = pallas_gather.CHUNK
     for nch in range(1, 9):
         K = solver.k_slab_max(nch)
         Kp = ((K + CHUNK) // CHUNK) * CHUNK
         hpp = pallas_gather.HPP
-        while hpp > 1 and hpp * nch * Kp * 4 > pallas_gather.W_MAX:
+        while hpp > 1 and hpp * nch * Kp * 4 > pallas_gather.w_max():
             hpp //= 2
-        assert hpp * nch * Kp * 4 <= pallas_gather.W_MAX, (nch, K, hpp)
+        assert hpp * nch * Kp * 4 <= pallas_gather.w_max(), (nch, K, hpp)
+
+    # a smaller device budget scales the ceiling down so nch=8 at hpp=1
+    # still fits (and never above the validated 2^17)
+    saved = pallas_gather.W_MAX
+    try:
+        pallas_gather.W_MAX = 8 * ((1 << 15) + CHUNK) * 4
+        assert solver.k_slab_max(8) == 1 << 15
+        assert solver.k_slab_max(1) == 1 << 15
+        pallas_gather.W_MAX = 10 * 8 * ((1 << 17) + CHUNK) * 4  # huge
+        assert solver.k_slab_max(8) == 1 << 17   # capped at validated max
+    finally:
+        pallas_gather.W_MAX = saved
 
     rng = np.random.default_rng(7)
     N = 400

@@ -391,10 +391,14 @@ def main(argv=None) -> int:
         # principle as the --mesh guard above
         sys.stderr.write("--deltas with --checkpoint is not supported yet\n")
         raise SystemExit(1)
-    if b_distributed and (mesh_shape is not None or checkpoint is not None
-                          or deltas is not None):
-        sys.stderr.write("--distributed cannot be combined with --mesh, "
-                         "--checkpoint, or --deltas yet\n")
+    if b_distributed and (mesh_shape is not None or checkpoint is not None):
+        # --mesh is redundant under --distributed (the multi-controller
+        # driver builds its own multihost mesh from the process layout);
+        # checkpoint-resume has no distributed wiring yet — failing loudly
+        # beats a run the user believes is checkpointed but is not.
+        # --distributed --deltas IS supported (run_so_multi_distributed).
+        sys.stderr.write("--distributed cannot be combined with --mesh "
+                         "or --checkpoint\n")
         raise SystemExit(1)
     # --survey forces the classifier pre-pass; without the flag the engine
     # AUTO-gates it by sampling (engine/solver.py SURVEY_*), so dense
@@ -421,7 +425,23 @@ def main(argv=None) -> int:
             raise SystemExit(1)
         mesh = make_mesh(*mesh_shape, devices=jax.devices()[:n_dev])
 
-    if b_distributed:
+    if b_distributed and deltas is not None:
+        from jax.experimental import multihost_utils
+
+        from .parallel.driver import run_so_multi_distributed
+
+        thresholds = [float(np.float32(d * np.float32(f_omega)))
+                      for d in deltas]
+        runs = run_so_multi_distributed(tipsy_file, catalog, params,
+                                        thresholds, standard=b_standard,
+                                        mark_mask=mask)
+        for d, thr, run in zip(deltas, thresholds, runs):
+            dstr = ("%g" % d).replace("+", "")
+            # ALL processes enter each write (cooperative segments)
+            write_outputs(f"{out_base}.d{dstr}", run, thr, True)
+        multihost_utils.sync_global_devices("so_tpu_distributed_done")
+        solve_seconds = runs[-1].solve_seconds if runs else 0.0
+    elif b_distributed:
         from jax.experimental import multihost_utils
 
         from .parallel.driver import run_so_distributed

@@ -595,6 +595,63 @@ def recenter_most_bound_distributed(mesh, sgrid, centers, rgtp,
     return out
 
 
+def _dist_setup(snapshot_path: str, catalog, params, standard: bool,
+                parts_per_host: int, mark_mask, timer):
+    """Shared multi-controller preamble: multihost mesh, per-host segment
+    read, global uniform-mass verdict, segment grid build, -pot
+    recentring. Returns (mesh, pset, sgrid, centers, rgtp, start, count,
+    n_global)."""
+    from ..io.tipsy import read_header, read_tipsy_segment
+
+    mesh = make_multihost_mesh(parts_per_host)
+    with open(snapshot_path, "rb") as fp:
+        hdr = read_header(fp, standard)
+    n_global = hdr.nbodies
+    start, count = grid_segment(n_global, mesh)
+    with timer.phase("segment read"):
+        pset = read_tipsy_segment(snapshot_path, start, count, standard)
+    if mark_mask is not None:
+        pset.mark = np.asarray(mark_mask, bool)[start:start + count]
+    ptype_seg = pset.ptype(start + np.arange(count, dtype=np.int64))
+
+    # global uniform-mass verdict: every host's segment must be uniform
+    # AND carry the same f32 value (process_allgather keeps the static
+    # aux identical on all processes — a mismatch would desync the
+    # shard_map pytrees)
+    um = None
+    if os.environ.get("SO_TPU_UNIFORM", "1") != "0":
+        # every process must join the collective (an empty segment is
+        # vacuously uniform and contributes no value)
+        from ..ops.grid import detect_uniform_mass
+        seg_um = detect_uniform_mass(pset.mass) if count else None
+        loc = np.array(
+            [float(count == 0 or seg_um is not None),
+             seg_um if seg_um is not None else 0.0,
+             float(count > 0)], np.float64)
+        from jax.experimental import multihost_utils
+        allm = np.atleast_2d(multihost_utils.process_allgather(loc))
+        vals = allm[allm[:, 2] > 0, 1]
+        if bool(allm[:, 0].all()) and vals.size \
+                and bool((vals == vals[0]).all()):
+            um = float(np.float32(vals[0]))
+
+    with timer.phase("sharded grid build (segment)"):
+        sgrid = build_sharded_grid_segment(
+            mesh, start, n_global, pset.pos, pset.mass, vel=pset.vel,
+            phi=pset.phi, ptype=ptype_seg, mark=pset.mark,
+            period=params.period, center=params.center, m=params.grid_m,
+            uniform_mass=um)
+
+    centers = np.asarray(catalog.pos, np.float32).copy()
+    rgtp = np.asarray(catalog.rgtp, np.float32)
+    if params.b_pot:
+        with timer.phase("recenter (-pot, distributed)"):
+            centers = recenter_most_bound_distributed(mesh, sgrid,
+                                                      centers, rgtp)
+            catalog.pos = centers
+    return mesh, pset, sgrid, centers, rgtp, start, count, n_global
+
+
 def run_so_distributed(snapshot_path: str, catalog, params,
                        standard: bool = False, parts_per_host: int = 1,
                        mark_mask=None):
@@ -606,57 +663,13 @@ def run_so_distributed(snapshot_path: str, catalog, params,
 
     from ..engine import solver
     from ..engine.pipeline import _post_solve
-    from ..io.tipsy import read_header, read_tipsy_segment
     from ..profiling import PhaseTimer, profile_trace
 
     timer = PhaseTimer()
     with profile_trace(params.profile_dir):
-        mesh = make_multihost_mesh(parts_per_host)
-        with open(snapshot_path, "rb") as fp:
-            hdr = read_header(fp, standard)
-        n_global = hdr.nbodies
-        start, count = grid_segment(n_global, mesh)
-        with timer.phase("segment read"):
-            pset = read_tipsy_segment(snapshot_path, start, count, standard)
-        if mark_mask is not None:
-            pset.mark = np.asarray(mark_mask, bool)[start:start + count]
-        ptype_seg = pset.ptype(start + np.arange(count, dtype=np.int64))
-
-        # global uniform-mass verdict: every host's segment must be uniform
-        # AND carry the same f32 value (process_allgather keeps the static
-        # aux identical on all processes — a mismatch would desync the
-        # shard_map pytrees)
-        um = None
-        if os.environ.get("SO_TPU_UNIFORM", "1") != "0":
-            # every process must join the collective (an empty segment is
-            # vacuously uniform and contributes no value)
-            from ..ops.grid import detect_uniform_mass
-            seg_um = detect_uniform_mass(pset.mass) if count else None
-            loc = np.array(
-                [float(count == 0 or seg_um is not None),
-                 seg_um if seg_um is not None else 0.0,
-                 float(count > 0)], np.float64)
-            from jax.experimental import multihost_utils
-            allm = np.atleast_2d(multihost_utils.process_allgather(loc))
-            vals = allm[allm[:, 2] > 0, 1]
-            if bool(allm[:, 0].all()) and vals.size \
-                    and bool((vals == vals[0]).all()):
-                um = float(np.float32(vals[0]))
-
-        with timer.phase("sharded grid build (segment)"):
-            sgrid = build_sharded_grid_segment(
-                mesh, start, n_global, pset.pos, pset.mass, vel=pset.vel,
-                phi=pset.phi, ptype=ptype_seg, mark=pset.mark,
-                period=params.period, center=params.center, m=params.grid_m,
-                uniform_mass=um)
-
-        centers = np.asarray(catalog.pos, np.float32).copy()
-        rgtp = np.asarray(catalog.rgtp, np.float32)
-        if params.b_pot:
-            with timer.phase("recenter (-pot, distributed)"):
-                centers = recenter_most_bound_distributed(mesh, sgrid,
-                                                          centers, rgtp)
-                catalog.pos = centers
+        mesh, pset, sgrid, centers, rgtp, start, count, n_global = \
+            _dist_setup(snapshot_path, catalog, params, standard,
+                        parts_per_host, mark_mask, timer)
 
         t0 = _time.perf_counter()
         with timer.phase("R_Delta solve (distributed)"):
@@ -682,3 +695,82 @@ def run_so_distributed(snapshot_path: str, catalog, params,
     if params.verbose and jax.process_index() == 0:
         timer.report()
     return run
+
+
+def dist_multi_stage_fn(mesh, sgrid, thresholds):
+    """solve_rvir_multi stage_fn: multi_stage_sharded with global-array
+    inputs and a host fetch of the (T+1, B, 5) packed block (same
+    contract as parallel.mesh.solve_rvir_multi_sharded's stage)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import multi_stage_sharded
+
+    n_halo = mesh.shape["halo"]
+    thr = np.asarray(thresholds, np.float32)
+
+    def stage(level, K, S, nm, T, centers, radii):
+        B = centers.shape[0]
+        c = _pad_rows(np.asarray(centers, np.float32), n_halo)
+        r = _pad_rows(np.asarray(radii, np.float32), n_halo, 1e-30)
+        out = multi_stage_sharded(
+            mesh, sgrid, level, K, S, nm, T,
+            make_global(mesh, P("halo"), c),
+            make_global(mesh, P("halo"), r),
+            make_global(mesh, P(), thr))
+        return fetch_sharded(out)[:, :B]
+
+    return stage
+
+
+def run_so_multi_distributed(snapshot_path: str, catalog, params,
+                             thresholds, standard: bool = False,
+                             parts_per_host: int = 1, mark_mask=None):
+    """Multi-controller multi-threshold pipeline (--distributed --deltas):
+    one segment grid + the shared-gather multi solve across processes,
+    then the full per-threshold post-processing with the distributed
+    stages — each returned SORun equals an independent run_so_distributed
+    at that threshold (mirrors engine.pipeline.run_so_multi /
+    parallel.mesh.run_so_multi_sharded; reference: one-pass main with all
+    flags, so.c:192-575)."""
+    import jax
+
+    from ..engine.multi import solve_rvir_multi
+    from ..engine.pipeline import SORun, _post_solve
+    from ..engine.solver import SolveResult
+    from ..profiling import PhaseTimer, profile_trace
+
+    timer = PhaseTimer()
+    runs: list = []
+    with profile_trace(params.profile_dir):
+        mesh, pset, sgrid, centers, rgtp, start, count, n_global = \
+            _dist_setup(snapshot_path, catalog, params, standard,
+                        parts_per_host, mark_mask, timer)
+
+        t0 = _time.perf_counter()
+        with timer.phase("R_Delta solve (multi, distributed)"):
+            multi = solve_rvir_multi(
+                grid_proxy(sgrid), centers, rgtp, thresholds,
+                n_members=params.n_members,
+                stage_fn=dist_multi_stage_fn(mesh, sgrid, thresholds),
+                classify_stage_fn=dist_classify_fn(mesh, sgrid),
+                survey=params.survey)
+        for t in range(len(thresholds)):
+            solve_t = SolveResult(
+                code=multi.code[t].copy(), mvir=multi.mvir[t].copy(),
+                rvir=multi.rvir[t].copy(), j=multi.j[t].copy(),
+                d2cut=multi.d2cut[t].copy(),
+                vcm=np.zeros((catalog.n, 3), np.float32))
+            run = _post_solve(
+                grid_proxy(sgrid), pset, catalog, centers, solve_t, params,
+                timer, fused_fn=dist_fused_members_fn(mesh, sgrid),
+                derived_fn=dist_derived_fn(mesh, sgrid),
+                vcm_fn=dist_vcm_fn(pset.vel * pset.mass[:, None], start),
+                n_particles=n_global,
+                stats_fn=dist_stats_fn(pset.mass, start),
+                conflict_fn=dist_conflict_fn(start, count),
+                member_filter=seg_member_filter(start, count))
+            run.solve_seconds = _time.perf_counter() - t0
+            runs.append(run)
+    if params.verbose and jax.process_index() == 0:
+        timer.report()
+    return runs

@@ -132,7 +132,11 @@ def test_two_process_distributed_solve(problem):
     # zoom multi-species variant: per-host segment reads crossing the
     # gas/dark/star iOrder boundaries, cross-process species profiles
     # (-all), and ~2-orders-of-magnitude mass spread in the merges
-    pytest.param("zoom", marks=pytest.mark.slow)])
+    pytest.param("zoom", marks=pytest.mark.slow),
+    # multi-threshold variant (--distributed --deltas, VERDICT r3 item 5):
+    # the shared-gather multi solve across processes
+    # (run_so_multi_distributed) + full per-threshold post-processing
+    pytest.param("deltas", marks=pytest.mark.slow)])
 def test_distributed_cli_matches_single_process(tmp_path, variant):
     """run_so_distributed end-to-end (VERDICT r2 item 1): a REAL 2-process
     `so_tpu --distributed` CLI run — per-host segment reads, cross-process
@@ -173,6 +177,8 @@ def test_distributed_cli_matches_single_process(tmp_path, variant):
     # merge) — the byte-identity check below covers their equivalence
     extra = (["-all"] if variant == "zoom" else ["-dark"]) \
         + ["-grp", "-gtp", "-subsumed", "-ignored", "--survey"]
+    if variant == "deltas":
+        extra += ["--deltas", "178,200,500"]
 
     assert main(["-i", f"{workdir}/cat.gtp", "--tipsy",
                  f"{workdir}/snap.bin", "-o", f"{workdir}/single"]
@@ -206,16 +212,21 @@ def test_distributed_cli_matches_single_process(tmp_path, variant):
 
     exts = ("sovcirc", "sogrp", "sosub", "soign", "sodark") \
         + (("sogas", "sostar") if variant == "zoom" else ())
-    for ext in exts:
-        a = [l for l in open(f"{workdir}/single.{ext}", "rb").read()
-             .splitlines() if not (l.startswith(b"# Run on")
-                                   or b"written to" in l)]
-        b = [l for l in open(f"{workdir}/dist.{ext}", "rb").read()
-             .splitlines() if not (l.startswith(b"# Run on")
-                                   or b"written to" in l)]
-        assert a == b, ext
-    assert open(f"{workdir}/single.sogtp", "rb").read() == \
-        open(f"{workdir}/dist.sogtp", "rb").read()
+    # under --deltas every output file is written once per threshold
+    bases = ([("single.d178", "dist.d178"), ("single.d200", "dist.d200"),
+              ("single.d500", "dist.d500")] if variant == "deltas"
+             else [("single", "dist")])
+    for sb, db in bases:
+        for ext in exts:
+            a = [l for l in open(f"{workdir}/{sb}.{ext}", "rb").read()
+                 .splitlines() if not (l.startswith(b"# Run on")
+                                       or b"written to" in l)]
+            b = [l for l in open(f"{workdir}/{db}.{ext}", "rb").read()
+                 .splitlines() if not (l.startswith(b"# Run on")
+                                       or b"written to" in l)]
+            assert a == b, (sb, ext)
+        assert open(f"{workdir}/{sb}.sogtp", "rb").read() == \
+            open(f"{workdir}/{db}.sogtp", "rb").read()
 
 
 def test_segment_grid_matches_inprocess_sharded():

@@ -27,7 +27,8 @@ from ..ops.grid import CellGrid
 from . import solver as _solver
 from .solver import (_chunk_for, _classify_stage, _k_limit, _pad_b,
                      _pad_chunk, _pad_to_bucket, _pick_level_span,
-                     _stage_grid, ladder_radius, rvir_ladder, scan_sorted)
+                     _stage_grid, ladder_radius, rvir_ladder,
+                     rvir_reference_bits, scan_sorted)
 
 
 @dataclass
@@ -240,7 +241,11 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                     idx = part[su]
                     code[t, idx] = 0
                     mvir[t, idx] = flts[t, su, 0]
-                    rvir[t, idx] = flts[t, su, 1]
+                    # host-exact Rvir from the f32 Mvir bits (see
+                    # solver.rvir_reference_bits — the device cbrt's last
+                    # ulp is observable in every downstream boundary)
+                    rvir[t, idx] = rvir_reference_bits(flts[t, su, 0],
+                                                       thresholds[t])
                     d2cut[t, idx] = flts[t, su, 2]
                     jout[t, idx] = jstar[t, su]
                     resolved[t, idx] = True

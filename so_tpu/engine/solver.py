@@ -52,6 +52,32 @@ from ..ops.grid import CellGrid
 FOUR_THIRDS_PI = np.float32(4.0 / 3.0 * np.pi)  # rhoEnclosed's 1.33333333*M_PI (kd2.c:592)
 
 
+def rvir_reference_bits(mvir, thr) -> np.ndarray:
+    """fRvir with the reference's exact arithmetic (kd2.c:816-819):
+
+        r3 = mass / ((4./3.)*M_PI*fRhoVir);   /* double RHS, float r3 */
+        r  = pow(r3, 0.3333333333);           /* libm double, float r */
+
+    i.e. ONE f32 rounding of a double quotient, then libm pow with the
+    truncated exponent 0.3333333333 (not 1/3), rounded once to f32. The
+    device scan's f32 cbrt differs from this in the last ulp for some
+    Mvir, and that ulp is observable: every downstream boundary is cut
+    with strict f32 compares against r-derived values — the Vc bins
+    d2 < (f*Rvir)^2 (kd2.c:518-524), the 2*Rvir profile gather, and the
+    conflict-protocol distance tests — so a heavier-than-average particle
+    sitting within an ulp of a bin edge flips a visible 0.x% of profile
+    mass (caught by the at-scale zoom parity gate, RESULTS_TPU.md
+    2026-08-19 12:06: one lo-res particle at the 0.75*Rvir bin of one
+    group). The host therefore recomputes Rvir from the exact f32 Mvir
+    bits; the device value is only a within-dispatch estimate."""
+    import math
+
+    denom = (4.0 / 3.0) * math.pi * float(np.float32(thr))
+    r3 = np.asarray(np.asarray(mvir, np.float64) / denom, np.float32)
+    return np.power(r3.astype(np.float64),
+                    0.3333333333).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Ball ladder (host): float32-faithful emulation of the regrow loop
 # ---------------------------------------------------------------------------
@@ -963,7 +989,9 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         idx = part[is_succ]
         code[idx] = 0
         mvir[idx] = o_mvir[is_succ]
-        rvir[idx] = o_rvir[is_succ]
+        # host-exact Rvir from the f32 Mvir bits (the device value is a
+        # cbrt estimate whose last ulp can differ from kd2.c:816-819)
+        rvir[idx] = rvir_reference_bits(o_mvir[is_succ], thr)
         jout[idx] = jstar[is_succ]
         d2cut[idx] = o_d2c[is_succ]
         resolved[idx] = True

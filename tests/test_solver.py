@@ -558,3 +558,47 @@ def test_channel_aware_slab_ceiling():
         solver._chunk_for(K_mid, 1 << 26, None)
     assert solver._pad_b(3, K_mid, 1 << 17) == solver._pad_b(3, 1024)
     assert solver._pad_b(3, K_mid) == 8
+
+
+def test_rvir_reference_bits_matches_compiled_c(tmp_path):
+    """Rvir must carry the EXACT bits of kd2.c:816-819 — a double-RHS
+    quotient rounded once to f32, then libm pow(r3, 0.3333333333) rounded
+    to f32 — because every downstream boundary (Vc bins d2 < (f*Rvir)^2,
+    the 2*Rvir profile gather, conflict distance tests) is a strict f32
+    compare against Rvir-derived values: a heavy zoom particle within an
+    ulp of a bin edge flips visible profile mass (the at-scale zoom gate
+    caught the device cbrt doing exactly that — RESULTS_TPU.md
+    2026-08-19 12:06). Compile the reference's statements and compare
+    bit-for-bit."""
+    import ctypes
+    import subprocess
+
+    from so_tpu.engine.solver import rvir_reference_bits
+
+    src = tmp_path / "rvir_ref.c"
+    src.write_text(
+        "#include <math.h>\n"
+        "void rvir_batch(const float* mass, float thr, float* out,"
+        " long n) {\n"
+        "    for (long i = 0; i < n; ++i) {\n"
+        "        float r3 = mass[i] / ((4./3.)*M_PI*thr);\n"
+        "        out[i] = pow(r3, 0.3333333333);\n"
+        "    }\n"
+        "}\n")
+    so = tmp_path / "rvir_ref.so"
+    subprocess.run(["gcc", "-O2", "-shared", "-fPIC", "-o", str(so),
+                    str(src), "-lm"], check=True)
+    lib = ctypes.CDLL(str(so))
+
+    rng = np.random.default_rng(3)
+    for thr in (178.0, 200.0, 500.0, float(np.float32(77.7))):
+        mass = (10.0 ** rng.uniform(-9, 3, 200_000)).astype(np.float32)
+        out = np.empty_like(mass)
+        lib.rvir_batch(
+            mass.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_float(thr),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_long(mass.size))
+        got = rvir_reference_bits(mass, thr)
+        np.testing.assert_array_equal(got.view(np.int32),
+                                      out.view(np.int32))

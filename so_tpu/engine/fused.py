@@ -101,7 +101,13 @@ def _fused_stage(grid: CellGrid, level: int, K: int, S: int, cap: int,
         [overflow.astype(jnp.float32)[:, None], der["vcirc"], der["rmass"],
          der["rmax"][:, None], der["vmax"][:, None]]
         + [der["profiles"][sp] for sp in species], axis=1)
-    return packed, counts, dblock
+    # ONE flat i32 output buffer [counts | packed | dblock bits]: each
+    # separate np.asarray fetch costs a full tunnel round-trip (~30 ms),
+    # so the three outputs ship as a single transfer and the host splits
+    # (the bitcast is free on both ends)
+    return jnp.concatenate(
+        [counts, packed,
+         jax.lax.bitcast_convert_type(dblock, jnp.int32).reshape(-1)])
 
 
 def members_and_derived(grid: CellGrid, centers: np.ndarray,
@@ -118,9 +124,12 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
 
     ``stage_fn(level, K, S, cap, n_members, species, centers, rvir, j,
     mvir, grav) -> (packed, counts, dblock)`` overrides the single-device
-    fused stage with the same output contract as _fused_stage — the
-    multi-device path (parallel.mesh.sharded_fused_members_fn) injects its
-    shard_map stage here and reuses this escalation driver unchanged.
+    fused stage — the multi-device path
+    (parallel.mesh.sharded_fused_members_fn) injects its shard_map stage
+    here and reuses this escalation driver unchanged. (The default
+    _fused_stage returns the same three outputs concatenated into one
+    flat i32 buffer — one tunnel transfer instead of three; the driver
+    accepts both forms.)
 
     ``vcm_fn(rows, counts, mvir_rows) -> (n, 3) f32`` overrides the
     host-side vcm computation for hosts that hold only a particle segment
@@ -255,6 +264,12 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
             sel0 = todo[need_cap[todo] == capacity]
             K = int(min(capacity, max(512, _k_limit(grid, s_max))))
             chunk = _chunk_for(K, slot_budget, k_slab)
+            # pipeline bound: chunks small enough that chunk t+1 executes
+            # on device while chunk t's packed rows stream over the
+            # ~20-25 MB/s tunnel (the fetch is bandwidth-bound; exec and
+            # d2h transfers overlap on TPU)
+            chunk = min(chunk, int(os.environ.get("SO_TPU_FUSED_CHUNK",
+                                                  "8192")))
             for level, S, bidx in _level_groups(grid, 2.0 * rvir[sel0],
                                                 s_max, K):
               sel = sel0[bidx]
@@ -285,10 +300,43 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                         level, K, S, cap, n_members, species,
                         jnp.asarray(c_pad), jnp.asarray(r_pad),
                         jnp.asarray(j_pad), jnp.asarray(m_pad), grav32)
-                pending.append((part, K, S, level, cap, t0, out_dev))
+                pending.append((part, B, K, S, level, cap, t0, out_dev))
 
-        for part, K, S, level, cap, t0, (packed, counts, dblock) in pending:
-            counts = np.asarray(counts)
+        # start the device->host transfers for every pending stage now:
+        # the runtime queues each copy behind its producing program, so
+        # later stages' results stream over the tunnel while the host
+        # scatters earlier ones (copy_to_host_async is best-effort — the
+        # sync np.asarray below is the correctness path)
+        for *_m, out_dev in pending:
+            for leaf in (out_dev if isinstance(out_dev, tuple)
+                         else (out_dev,)):
+                try:
+                    leaf.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    break
+
+        # SO_TPU_DEBUG=2: split each stage's wall time into device-complete
+        # (1-element sync — block_until_ready does not block over the axon
+        # tunnel), bulk fetch, and host scatter
+        dbg2 = bool(dbg) and dbg.isdigit() and int(dbg) >= 2
+        D = 13 + 16 * len(species)
+        for part, B, K, S, level, cap, t0, out_dev in pending:
+            flat = not isinstance(out_dev, tuple)
+            if dbg2:
+                t1 = _pc()
+                np.asarray(jax.device_get(
+                    out_dev[:1] if flat else out_dev[2][:1, :1]))
+                t_dev = _pc() - t1
+                t1 = _pc()
+            if flat:
+                # single-transfer [counts | packed | dblock bits] buffer
+                buf = np.asarray(out_dev)
+                counts = buf[:B]
+                packed = buf[B:B + cap]
+                dblock = buf[B + cap:].view(np.float32).reshape(B, D)
+            else:
+                packed, counts, dblock = out_dev
+                counts = np.asarray(counts)
             if int(counts.sum()) > cap:
                 need_cap[part] = np.minimum(need_cap[part] * 4,
                                             2 * _k_limit(grid, s_max))
@@ -296,10 +344,15 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                 continue
             packed = np.asarray(packed)
             dblock = np.asarray(dblock)[:part.size]
+            if dbg2:
+                t_fetch = _pc() - t1
+                t_scat0 = _pc()
             if dbg:
                 print(f"so_tpu[fused]: stage K={K} S={S} "
                       f"level={level} n={part.size} cap={cap} "
-                      f"dt={(_pc() - t0) * 1e3:.1f}ms",
+                      f"dt={(_pc() - t0) * 1e3:.1f}ms"
+                      + (f" dev={t_dev * 1e3:.1f}ms fetch={t_fetch * 1e3:.1f}ms"
+                         if dbg2 else ""),
                       file=sys.stderr, flush=True)
             # vectorized scatter to catalog order (a per-halo Python
             # loop here cost ~1 s of host time at B=4096)
@@ -335,5 +388,9 @@ def members_and_derived(grid: CellGrid, centers: np.ndarray,
                 from .members import vcm_from_members
                 vcm[idx] = vcm_from_members(mvh, rows64, counts_p,
                                             mvir[part])[okm]
+            if dbg2:
+                print(f"so_tpu[fused]: scatter+vcm n={part.size} "
+                      f"dt={(_pc() - t_scat0) * 1e3:.1f}ms",
+                      file=sys.stderr, flush=True)
         todo = np.asarray(next_todo, np.int64)
     return out_members, vcm, derived

@@ -83,17 +83,29 @@ def _pack_prefix(rows_sorted, counts, cap: int):
     Each row's valid entries are its contiguous PREFIX (slots
     [0, counts[b]) of the distance-sorted row), so the dense vector is a
     computed gather — the flat B*K compaction sort this replaces cost
-    ~165 ms at 67M slots on v5e (experiments/sort_microbench.py)."""
+    ~165 ms at 67M slots on v5e (experiments/sort_microbench.py).
+
+    The flat source index is a per-halo affine ramp (src = b*K + p −
+    start_b for p in [start_b, cum_b)), built by scattering the ramp-
+    offset diffs at each halo's start and prefix-summing — the same
+    piecewise-constant trick as ragged_ball_gather's jump vector. The
+    searchsorted(cum, p) row lookup this replaces lowered to ~14 slow
+    TPU gathers over the probe vector (~146 ms at cap=2^20 on v5e vs
+    ~10 ms for this form — experiments/fused_breakdown2.py)."""
     B, K = rows_sorted.shape
     counts = counts.astype(jnp.int32)
     cum = jnp.cumsum(counts)
     start = cum - counts
+    # val_b = b*K - start_b; empty halos share their successor's start and
+    # the scatter-ADD of diffs lands both, so cumsum yields the LAST
+    # halo's value at a shared start — exactly searchsorted side="right"
+    val = jnp.arange(B, dtype=jnp.int32) * K - start
+    dif = jnp.concatenate([val[:1], val[1:] - val[:-1]])
     p = jnp.arange(cap, dtype=jnp.int32)
-    row = jnp.searchsorted(cum, p, side="right").astype(jnp.int32)
-    rowc = jnp.clip(row, 0, B - 1)
-    col = p - start[rowc]
+    acc = jnp.zeros(cap, jnp.int32).at[start].add(dif, mode="drop")
+    src = jnp.cumsum(acc) + p
     valid = p < cum[-1]
-    vals = rows_sorted.reshape(-1)[rowc * K + jnp.clip(col, 0, K - 1)]
+    vals = rows_sorted.reshape(-1)[jnp.clip(src, 0, B * K - 1)]
     return jnp.where(valid, vals, -1), counts
 
 

@@ -67,6 +67,8 @@ def get_lib():
     lib.so_stats_pass.restype = ctypes.c_int
     lib.so_stats_pass.argtypes = [ctypes.c_int64, f32p, i32p, i32p, i32p,
                                   f64p, i64p]
+    lib.so_indexx.restype = ctypes.c_int
+    lib.so_indexx.argtypes = [ctypes.c_int64, f64p, i64p]
     _lib = lib
     return _lib
 
@@ -150,6 +152,24 @@ def stats_pass_native(mass, igrp, n_subsumed, n_ignored):
     if rc != 0:
         raise RuntimeError(f"so_stats_pass failed: rc={rc}")
     return fout, iout
+
+
+def indexx_native(arr1) -> np.ndarray | None:
+    """NR indexx over 1-based keys (so_indexx — the C transliteration of
+    numerics._indexx_nr): returns the 1-based index array (slot 0 unused)
+    or None if the library is unavailable. Bit-faithful to the Python
+    port (tests/test_numerics.py fuzzes them against each other)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr1 = np.ascontiguousarray(arr1, np.float64)
+    n = arr1.shape[0] - 1
+    indx = np.zeros(n + 1, np.int64)
+    rc = lib.so_indexx(n, _ptr(arr1, ctypes.c_double),
+                       _ptr(indx, ctypes.c_int64))
+    if rc != 0:
+        raise RuntimeError(f"so_indexx failed: rc={rc}")
+    return indx
 
 
 def write_int_array_native(path: str, values) -> bool:

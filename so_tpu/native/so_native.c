@@ -80,6 +80,9 @@ int so_conflict_pass(
         int64_t k_s = -1, slurper = -1;
 
         for (int64_t k = lo; k < hi; ++k) {
+            /* rows are distance-sorted, i.e. random in memory: the scan is
+             * DRAM-latency bound, so keep a window of loads in flight */
+            if (k + 16 < hi) __builtin_prefetch(&igrp[mem[k + 16]], 0, 0);
             int32_t own = igrp[mem[k]];
             if (own == 0) continue;
             if (own < 0 || own > max_id || id2row[own] < 0) { rc = -2; break; }
@@ -101,6 +104,8 @@ int so_conflict_pass(
 
         /* walk the prefix: subsume events, retain counters, A-tags */
         for (int64_t k = lo; k < pref_end; ++k) {
+            if (k + 16 < pref_end)
+                __builtin_prefetch(&igrp[mem[k + 16]], 1, 0);
             int64_t p = mem[k];
             int32_t own = igrp[p];
             if (own != 0) {
@@ -257,5 +262,75 @@ int so_stats_pass(int64_t n, const float *mass, const int32_t *igrp,
     }
     fout[0] = cms; fout[1] = ms; fout[2] = cmi; fout[3] = mi; fout[4] = pm;
     iout[0] = cs; iout[1] = ps; iout[2] = ci; iout[3] = pi;
+    return 0;
+}
+
+/* NR indexx (nr.c:91-151): index quicksort with insertion-sort leaves and
+ * median-of-three pivoting. The halo processing order is bit-defined by
+ * this exact algorithm's TIE behavior (kdSortMass, kd2.c:843-861), so this
+ * is a faithful transliteration of numerics._indexx_nr (itself the NR
+ * port) — the pure-Python form costs ~100 ms at 16k keys / ~10 s at 1e6
+ * whenever float32 masses collide (birthday ties are routine in large
+ * catalogs).
+ * arr1: 1-based keys (arr1[0] unused); indx: n+1 slots, 1-based result.
+ * Returns 0 on success, -1 if the NR stack overflows. */
+int so_indexx(int64_t n, const double *restrict arr1, int64_t *restrict indx)
+{
+    enum { NR_M = 7, NSTACK = 50 };
+    int64_t istack[NSTACK + 1];
+    int64_t jstack = 0, l = 1, ir = n;
+    for (int64_t j = 0; j <= n; ++j) indx[j] = j;
+    for (;;) {
+        if (ir - l < NR_M) {
+            for (int64_t j = l + 1; j <= ir; ++j) {
+                int64_t indxt = indx[j];
+                double a = arr1[indxt];
+                int64_t i = j - 1;
+                while (i >= 1) {
+                    if (arr1[indx[i]] <= a) break;
+                    indx[i + 1] = indx[i];
+                    i--;
+                }
+                indx[i + 1] = indxt;
+            }
+            if (jstack == 0) break;
+            ir = istack[jstack--];
+            l = istack[jstack--];
+        } else {
+            int64_t k = (l + ir) >> 1;
+            int64_t t = indx[k]; indx[k] = indx[l + 1]; indx[l + 1] = t;
+            if (arr1[indx[l + 1]] > arr1[indx[ir]]) {
+                t = indx[l + 1]; indx[l + 1] = indx[ir]; indx[ir] = t;
+            }
+            if (arr1[indx[l]] > arr1[indx[ir]]) {
+                t = indx[l]; indx[l] = indx[ir]; indx[ir] = t;
+            }
+            if (arr1[indx[l + 1]] > arr1[indx[l]]) {
+                t = indx[l + 1]; indx[l + 1] = indx[l]; indx[l] = t;
+            }
+            int64_t i = l + 1, j = ir;
+            int64_t indxt = indx[l];
+            double a = arr1[indxt];
+            for (;;) {
+                do { i++; } while (arr1[indx[i]] < a);
+                do { j--; } while (arr1[indx[j]] > a);
+                if (j < i) break;
+                t = indx[i]; indx[i] = indx[j]; indx[j] = t;
+            }
+            indx[l] = indx[j];
+            indx[j] = indxt;
+            jstack += 2;
+            if (jstack > NSTACK) return -1;
+            if (ir - i + 1 >= j - l) {
+                istack[jstack] = ir;
+                istack[jstack - 1] = i;
+                ir = j - 1;
+            } else {
+                istack[jstack] = j - 1;
+                istack[jstack - 1] = l;
+                l = i;
+            }
+        }
+    }
     return 0;
 }

@@ -201,4 +201,11 @@ def indexx(arr: np.ndarray) -> np.ndarray:
     if np.unique(arr).size == n:
         return np.argsort(arr, kind="stable")
     arr1 = np.concatenate([[np.float64(0)], arr.astype(arr.dtype)])
-    return _indexx_nr(arr1)[1:] - 1
+    # tie path: the C transliteration when available (~100x; the Python
+    # quicksort costs ~100 ms at 16k keys, ~10 s at 1e6 — and float32
+    # catalogs collide routinely at those sizes)
+    from .native import indexx_native
+    out = indexx_native(arr1)
+    if out is None:
+        out = _indexx_nr(arr1)
+    return out[1:] - 1

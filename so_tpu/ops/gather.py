@@ -226,7 +226,26 @@ def slab_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
     d2 = out[:, 0, :]
     n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
 
-    ops = [d2] + [out[:, 1 + i, :] for i in range(len(kernel_chans))]
+    # decode the split source-row pair BEFORE the sort: one fused
+    # elementwise pass turns (ilo, ihi) into a single i32 operand, so the
+    # sort carries one less channel (3-op -> 2-op saved ~18 ms at 67M
+    # slots on v5e — experiments/fused_breakdown2.py)
+    ops = [d2]
+    pre = []                      # channel slots in ops order
+    i = 1
+    for ch in channels:
+        if ch == "mass" or ch == "meta":
+            ops.append(out[:, i, :])
+            i += 1
+            pre.append(ch)
+        elif ch == "mv":
+            ops.extend([out[:, i, :], out[:, i + 1, :], out[:, i + 2, :]])
+            i += 3
+            pre.append(ch)
+        elif ch == "idx":
+            ops.append(decode_idx(out[:, i, :], out[:, i + 1, :]))
+            i += 2
+            pre.append(ch)
     # unstable: ~1.5x faster on TPU (stable adds an iota tiebreak operand);
     # the reference's own distance sort (NR sort2, kd2.c) is unstable too,
     # so equal-d2 tie order is arbitrary in both implementations
@@ -235,16 +254,11 @@ def slab_gather(grid: CellGrid, level: int, centers, radii, r2_mask,
     rest = list(sorted_ops[1:])
 
     chans = []
-    for ch in channels:
-        if ch == "mass":
-            chans.append(rest.pop(0))
-        elif ch == "mv":
+    for ch in pre:
+        if ch == "mv":
             chans.append(jnp.stack([rest.pop(0), rest.pop(0), rest.pop(0)],
                                    axis=-1))
-        elif ch == "meta":
+        else:
             chans.append(rest.pop(0))
-        elif ch == "idx":
-            ilo, ihi = rest.pop(0), rest.pop(0)
-            chans.append(decode_idx(ilo, ihi))
     return SlabGatherResult(d2=d2_s, channels=tuple(chans), n_in=n_in,
                             overflow=overflow)

@@ -40,3 +40,28 @@ def test_indexx_tie_order_is_nr_not_stable():
 def test_indexx_empty_and_single():
     assert indexx(np.zeros(0, np.float32)).size == 0
     np.testing.assert_array_equal(indexx(np.array([3.0], np.float32)), [0])
+
+
+def test_indexx_native_matches_python_port():
+    """so_indexx (native C) is bit-faithful to _indexx_nr (the Python NR
+    port): same permutation including the quicksort's tie order, fuzzed
+    over heavy/no/all-tie key sets."""
+    from so_tpu.native import indexx_native
+
+    rng = np.random.default_rng(99)
+    for n in (1, 2, 7, 8, 50, 333, 5000):
+        for mode in ("ties", "distinct", "const"):
+            if mode == "ties":
+                arr = rng.integers(0, max(n // 3, 1), n).astype(np.float32)
+            elif mode == "distinct":
+                arr = rng.permutation(n).astype(np.float64)
+            else:
+                arr = np.zeros(n, np.float32)
+            arr1 = np.concatenate([[np.float64(0)],
+                                   arr.astype(np.float64)])
+            got = indexx_native(arr1)
+            if got is None:
+                import pytest
+                pytest.skip("native library unavailable")
+            want = _indexx_nr(arr1)
+            np.testing.assert_array_equal(got[1:], want[1:])

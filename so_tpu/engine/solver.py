@@ -1037,18 +1037,22 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             radii_all = ladder_radius(rgtp[live], k_eff)
             thr_vec = jnp.asarray([thr], jnp.float32)
 
-            def classify(part, radii, level, S):
+            def classify_dispatch(part, radii, level, S):
                 B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
                                              radii, ks)
                 t0 = _pc()
                 if classify_stage_fn is not None:
-                    arr = np.asarray(classify_stage_fn(
-                        level, K, S, n_members, c_pad, r_pad, thr_vec))
+                    out = classify_stage_fn(
+                        level, K, S, n_members, c_pad, r_pad, thr_vec)
                 else:
-                    arr = np.asarray(_classify_stage(
+                    out = _classify_stage(
                         _stage_grid(grid, K, ks), level, K, S, n_members,
                         jnp.asarray(c_pad), jnp.asarray(r_pad), thr_vec,
-                        T=1))
+                        T=1)
+                return (part, B, level, S, t0, out)
+
+            def classify_apply(part, B, level, S, t0, out):
+                arr = np.asarray(out)
                 _dbg_stage("classify", t0, B=B, K=K, S=S, level=level,
                            n=part.size)
                 w0 = arr[:part.size, 0]
@@ -1068,14 +1072,24 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 return int(is_m1.sum() + is_m2.sum())
 
             def run_classify(idx_arr, rads):
+                # pipeline depth 2: dispatch chunk i+1 before blocking on
+                # chunk i's transfer — chunks are disjoint halo sets and
+                # dispatch reads nothing that apply mutates, so the tunnel
+                # round-trip overlaps the next chunk's device work
                 total = 0
                 if idx_arr.size == 0:
                     return total
+                pending = None
                 for level, S, b in _level_groups(grid, rads, s_max, K, lam):
                     sel_g, rad_g = idx_arr[b], rads[b]
                     for lo, part in _dispatch_chunks(sel_g, K, slot_budget):
-                        total += classify(part, rad_g[lo:lo + part.size],
-                                          level, S)
+                        nxt = classify_dispatch(
+                            part, rad_g[lo:lo + part.size], level, S)
+                        if pending is not None:
+                            total += classify_apply(*pending)
+                        pending = nxt
+                if pending is not None:
+                    total += classify_apply(*pending)
                 return total
 
             start = 0
@@ -1097,6 +1111,30 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         #                 spill into the classic escalation rounds
         k_eff_l = np.minimum(cur_k[live], kmax[live])
         radii_l = ladder_radius(rgtp[live], k_eff_l)
+        fpend = None
+
+        def fused_apply(part, B, k_eff_sl, t0, level, S, level2, S2,
+                        packed):
+            arr = np.asarray(packed)
+            _dbg_stage("fused", t0, B=B, K=K, S=S, level=level, K2=K2,
+                       S2=S2, level2=level2, B2=B2, n=part.size)
+            ints1, flts1 = unpack_stage_out(arr[:part.size, :5])
+            p2 = arr[B:]
+            ids = p2[:, 5]
+            steps = p2[:, 6]
+            ok2 = (ids >= 0) & (ids < part.size)
+            ids_l = ids[ok2]
+            # -1 openness closes on the tier-1 counts for everyone
+            # BEFORE tier-2 rows are judged (the classic round order)
+            minus1_open[part[ints1[:, 0] >= n_members]] = False
+            mask1 = np.ones(part.size, bool)
+            mask1[ids_l] = False
+            apply_round(part[mask1], ints1[mask1], flts1[mask1],
+                        k_eff_sl[mask1], K)
+            ints2, flts2 = unpack_stage_out(p2[ok2][:, :5])
+            apply_round(part[ids_l], ints2, flts2,
+                        k_eff_sl[ids_l] + steps[ok2], K2)
+
         for level, S, b in _level_groups(grid, radii_l, s_max, K, lam):
             sel = live[b]
             k_eff = k_eff_l[b]
@@ -1144,26 +1182,18 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                         grid, level, K, S, level2, K2, S2, B2, n_members,
                         DK, jnp.asarray(c_pad), jnp.asarray(r_pad),
                         jnp.asarray(kl_pad), thr32)
-                arr = np.asarray(packed)
-                _dbg_stage("fused", t0, B=B, K=K, S=S, level=level, K2=K2,
-                           S2=S2, level2=level2, B2=B2, n=part.size)
-                ints1, flts1 = unpack_stage_out(arr[:part.size, :5])
-                p2 = arr[B:]
-                ids = p2[:, 5]
-                steps = p2[:, 6]
-                ok2 = (ids >= 0) & (ids < part.size)
-                ids_l = ids[ok2]
-                # -1 openness closes on the tier-1 counts for everyone
-                # BEFORE tier-2 rows are judged (the classic round order)
-                minus1_open[part[ints1[:, 0] >= n_members]] = False
-                mask1 = np.ones(part.size, bool)
-                mask1[ids_l] = False
-                apply_round(part[mask1], ints1[mask1], flts1[mask1],
-                            k_eff[lo:lo + part.size][mask1], K)
-                ints2, flts2 = unpack_stage_out(p2[ok2][:, :5])
-                apply_round(part[ids_l], ints2, flts2,
-                            k_eff[lo:lo + part.size][ids_l] + steps[ok2],
-                            K2)
+                # pipeline depth 2: queue this chunk's program, then block
+                # on the PREVIOUS chunk's transfer + host apply — chunks
+                # are disjoint halo sets and apply_round mutates only its
+                # own halos' state, so the next device program runs while
+                # the host processes the last one
+                nxt = (part, B, k_eff[lo:lo + part.size], t0,
+                       level, S, level2, S2, packed)
+                if fpend is not None:
+                    fused_apply(*fpend)
+                fpend = nxt
+        if fpend is not None:
+            fused_apply(*fpend)
 
     guard = 0
     while not resolved.all():
@@ -1176,6 +1206,17 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         if guard > 1 and live.size:
             cur_cap[live] = cur_cap[live].max()
         caps = np.unique(cur_cap[live])
+        # pipeline depth 2 across the round's dispatches (disjoint halo
+        # sets; apply_round only touches its own halos) — flushed before
+        # the while condition re-reads `resolved`
+        spend = None
+
+        def stage_apply(part, B, K, k_eff_sl, t0, level, S, rmax, packed):
+            ints, flts = unpack_stage_out(np.asarray(packed)[:part.size])
+            _dbg_stage("stage", t0, B=B, K=K, S=S, level=level,
+                       n=part.size, rmax=rmax)
+            apply_round(part, ints, flts, k_eff_sl, K)
+
         for capacity in caps:
             sel0 = live[cur_cap[live] == capacity]
             K = int(min(capacity, _k_limit(grid, s_max)))
@@ -1191,12 +1232,12 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                     packed = stage_fn(level, K, S, n_members,
                                       jnp.asarray(c_pad),
                                       jnp.asarray(r_pad), thr32)
-                    ints, flts = unpack_stage_out(
-                        np.asarray(packed)[:part.size])
-                    _dbg_stage("stage", t0, B=B, K=K, S=S, level=level,
-                               n=part.size,
-                               rmax=f"{float(r_pad.max()):.4g}")
-                    apply_round(part, ints, flts,
-                                k_eff[lo:lo + part.size], K)
+                    nxt = (part, B, K, k_eff[lo:lo + part.size], t0,
+                           level, S, f"{float(r_pad.max()):.4g}", packed)
+                    if spend is not None:
+                        stage_apply(*spend)
+                    spend = nxt
+        if spend is not None:
+            stage_apply(*spend)
     return SolveResult(code=code, mvir=mvir, rvir=rvir, j=jout, d2cut=d2cut,
                        vcm=vcm, kcap=kcap)

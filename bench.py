@@ -122,8 +122,30 @@ def main():
     solve_s = min(reps)
     # device-time estimate: wall minus the measured tunnel round-trip per
     # dispatch — separates real kernel regressions from terminal/tunnel
-    # contention (the wall number alone conflates them)
-    dev_est = max(solve_s - disp[-1] * rtt, 0.0)
+    # contention (the wall number alone conflates them). The formula is
+    # only valid at dispatch depth 1 (pipelined dispatches overlap their
+    # round-trips with device work, so subtracting every rtt from the
+    # pipelined wall over-subtracts) — multi-dispatch workloads re-measure
+    # with SO_TPU_PIPELINE=0 for the estimate.
+    if disp[-1] > 1:
+        os.environ["SO_TPU_PIPELINE"] = "0"
+        try:
+            d1 = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                solve_rvir(grid, centers, rgtp, thr, survey=survey)
+                d1.append(time.perf_counter() - t0)
+        finally:
+            del os.environ["SO_TPU_PIPELINE"]
+        # Both `depth1_wall - disp*rtt` and `pipelined_wall - rtt` are
+        # upper bounds on device time (the 6 chunk computations serialize
+        # on one chip, so the pipelined wall still contains all of them
+        # plus at least the final fetch; depth-1 round trips carry bigger
+        # fetches than the tiny-probe rtt, so that bound is often looser).
+        # Take the tighter.
+        dev_est = max(min(min(d1) - disp[-1] * rtt, solve_s - rtt), 0.0)
+    else:
+        dev_est = max(solve_s - disp[-1] * rtt, 0.0)
 
     ok = int((res.code == 0).sum())
     rate = n_halos / solve_s

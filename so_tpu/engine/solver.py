@@ -828,6 +828,16 @@ DISPATCHES = 0
 EVAL_SLOTS = 0
 
 
+def _pipelined() -> bool:
+    """Depth-2 dispatch pipelining (dispatch chunk i+1 before blocking on
+    chunk i's transfer). SO_TPU_PIPELINE=0 forces depth-1 — with it the
+    wall of a multi-dispatch solve decomposes as dispatches x (device +
+    round-trip), so `wall - dispatches x rtt` is a valid device-time
+    estimate (under pipelining the round-trips overlap device work and
+    that formula over-subtracts). Read per call so bench.py can A/B."""
+    return os.environ.get("SO_TPU_PIPELINE", "1") != "0"
+
+
 def _dbg_stage(name: str, t0: float, **kv):
     global DISPATCHES, EVAL_SLOTS
     DISPATCHES += 1
@@ -1085,6 +1095,9 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                     for lo, part in _dispatch_chunks(sel_g, K, slot_budget):
                         nxt = classify_dispatch(
                             part, rad_g[lo:lo + part.size], level, S)
+                        if not _pipelined():
+                            total += classify_apply(*nxt)
+                            continue
                         if pending is not None:
                             total += classify_apply(*pending)
                         pending = nxt
@@ -1189,6 +1202,9 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 # the host processes the last one
                 nxt = (part, B, k_eff[lo:lo + part.size], t0,
                        level, S, level2, S2, packed)
+                if not _pipelined():
+                    fused_apply(*nxt)
+                    continue
                 if fpend is not None:
                     fused_apply(*fpend)
                 fpend = nxt
@@ -1234,6 +1250,9 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                                       jnp.asarray(r_pad), thr32)
                     nxt = (part, B, K, k_eff[lo:lo + part.size], t0,
                            level, S, f"{float(r_pad.max()):.4g}", packed)
+                    if not _pipelined():
+                        stage_apply(*nxt)
+                        continue
                     if spend is not None:
                         stage_apply(*spend)
                     spend = nxt

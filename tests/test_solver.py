@@ -560,6 +560,39 @@ def test_channel_aware_slab_ceiling():
     assert solver._pad_b(3, K_mid) == 8
 
 
+def test_pipelined_dispatch_matches_depth1(monkeypatch):
+    """The depth-2 dispatch pipeline (dispatch chunk i+1 before applying
+    chunk i's host unpack) must be a pure scheduling change: with a
+    slot budget small enough to force several dispatch chunks, the
+    pipelined solve (default) and SO_TPU_PIPELINE=0 (depth-1, the
+    configuration bench.py uses for its device-time estimate) must be
+    bit-identical — plain, survey, and uniform-mass-off variants."""
+    from so_tpu.engine import solver
+
+    rng = np.random.default_rng(17)
+    clumps = [dict(center=rng.uniform(-0.45, 0.45, 3), n=300,
+                   rmax=0.03, mass_total=0.002) for _ in range(48)]
+    d = make_clumpy_box(rng, n_background=20000, clumps=clumps)
+    grid = build_grid(d["pos"], d["mass"], m=3)
+    centers = np.stack([c["center"] for c in clumps]).astype(np.float32)
+    rgtp = np.full(len(clumps), 0.01, np.float32)
+
+    for survey in (False, True):
+        d0 = solver.DISPATCHES
+        monkeypatch.setenv("SO_TPU_PIPELINE", "0")
+        want = solve_rvir(grid, centers, rgtp, 178.0, survey=survey,
+                          slot_budget=1 << 15)
+        n_depth1 = solver.DISPATCHES - d0
+        assert n_depth1 > 2, "slot budget did not force multiple chunks"
+        monkeypatch.setenv("SO_TPU_PIPELINE", "1")
+        got = solve_rvir(grid, centers, rgtp, 178.0, survey=survey,
+                         slot_budget=1 << 15)
+        for f in ("code", "mvir", "rvir", "j", "d2cut", "kcap"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+                err_msg=f"survey={survey} field={f}")
+
+
 def test_rvir_reference_bits_matches_compiled_c(tmp_path):
     """Rvir must carry the EXACT bits of kd2.c:816-819 — a double-RHS
     quotient rounded once to f32, then libm pow(r3, 0.3333333333) rounded

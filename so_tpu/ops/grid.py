@@ -241,6 +241,63 @@ _build_device_donated = partial(jax.jit, static_argnames=("m",),
                                     _build_device_impl)
 
 
+@partial(jax.jit, static_argnames=("m",))
+def _codes_perm(m, lo, period, pos):
+    """Phase A of the staged build: Morton perm + level starts from the
+    positions alone — the identical ops _build_device_impl runs (same
+    encode, same stable argsort, same searchsorted), so the staged build
+    is bit-identical to the one-shot build by construction."""
+    nc = 1 << m
+    u = pos - lo
+    u = u - jnp.floor(u / period) * period
+    ic = jnp.clip((u / period * nc).astype(jnp.int32), 0, nc - 1)
+    code = morton_encode(ic[:, 0], ic[:, 1], ic[:, 2])
+    perm = jnp.argsort(code, stable=True)
+    code_s = code[perm]
+    starts = []
+    for g in range(m + 1):
+        ncg3 = 1 << (3 * (m - g))
+        cg = (code_s >> (3 * g)).astype(jnp.int32)
+        starts.append(jnp.searchsorted(cg, jnp.arange(ncg3 + 1, dtype=jnp.int32),
+                                       side="left").astype(jnp.int32))
+    return perm.astype(jnp.int32), tuple(starts)
+
+
+_take_rows = jax.jit(lambda a, perm: a[perm])
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _staged_rows3(a, perm, padval, chunk):
+    """One (3, n+chunk) payload row-block: permute an (n,3) field, transpose,
+    pad `chunk` trailing columns with padval — bit-identical to the matching
+    rows of pack_soa8t (permute-then-slice == slice-then-permute)."""
+    s = a[perm].T.astype(jnp.float32)
+    return jnp.concatenate([s, jnp.full((3, chunk), padval, jnp.float32)],
+                           axis=1)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _staged_row1(a, perm, chunk):
+    """One (1, n+chunk) payload row, zero-padded."""
+    s = a[perm].astype(jnp.float32)[None, :]
+    return jnp.concatenate([s, jnp.zeros((1, chunk), jnp.float32)], axis=1)
+
+
+# donation is NOT usable over the axon remote backend (jax warns "Some
+# donated buffers were not usable" and keeps both copies), so the one-shot
+# donated build peaks at inputs+outputs+sort scratch — a real 16 GB OOM at
+# 512^3 (1.34e8 particles, /tmp/scale512.log 2026-08-19). Above this row
+# count build_grid stages the build instead: perm from the positions alone,
+# then (in the usual pallas+dedup configuration) the slab payload assembled
+# row-block by row-block straight from the UNSORTED fields — the sorted
+# per-field duplicates that pack_soa8t would otherwise hold live (~5.5 GB at
+# 512^3, the second OOM of /tmp/scale512.log) are never materialized, and
+# each unsorted input is freed as soon as its rows are built. Absent fields
+# become constant rows with no upload at all. Peak is then roughly
+# max(field uploads) + payload + one row-block (~9 GB at 512^3 with vel).
+STAGED_BUILD_MIN = int(os.environ.get("SO_TPU_STAGED_BUILD", 1 << 25))
+
+
 def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
                period=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0),
                m: int | None = None, pallas: bool | None = None) -> CellGrid:
@@ -258,26 +315,11 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     n = pos.shape[0]
     has_phi = phi is not None
     um = detect_uniform_mass(mass)
-    mass = jnp.asarray(mass, jnp.float32)
-    vel = jnp.zeros((n, 3), jnp.float32) if vel is None else jnp.asarray(vel, jnp.float32)
-    phi = jnp.zeros(n, jnp.float32) if phi is None else jnp.asarray(phi, jnp.float32)
-    ptype = jnp.zeros(n, jnp.int32) if ptype is None else jnp.asarray(ptype, jnp.int32)
-    mark = jnp.zeros(n, bool) if mark is None else jnp.asarray(mark, bool)
     period = jnp.asarray(period, jnp.float32)
     center = jnp.asarray(center, jnp.float32)
     lo = center - period * 0.5
     if m is None:
         m = choose_m(n)
-    build = (_build_device_donated
-             if owned and jax.default_backend() != "cpu" else _build_device)
-    out = build(m, lo, period, pos, mass, vel, phi, ptype, mark)
-    # free the unsorted device inputs before packing the payload — at
-    # 512^3-class sizes the build-time HBM peak is what limits a single
-    # chip (docs/RESULTS.md round-3 memory budget)
-    del pos, mass, vel, phi, ptype, mark
-    grid = CellGrid(m, lo, period, *out, chunk=choose_chunk(n, m),
-                    uniform_mass=um)
-    del out
     if pallas is None:
         env = os.environ.get("SO_TPU_PALLAS", "auto")
         if env == "0":
@@ -286,9 +328,89 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
             pallas = True
         else:
             pallas = jax.default_backend() not in ("cpu",)
+    dedup = os.environ.get("SO_TPU_DEDUP", "1") != "0"
+    chunk = choose_chunk(n, m)
+    if owned and n >= STAGED_BUILD_MIN and pallas and dedup:
+        # staged build, payload-direct (bit-identical, see _codes_perm and
+        # the STAGED_BUILD_MIN note): perm from the positions alone, then
+        # the (8, n+chunk) slab payload assembled one row-block at a time
+        # from the UNSORTED inputs, freeing each as it is consumed. The
+        # sorted per-field duplicates are never materialized — dedup would
+        # drop them immediately anyway.
+        perm, starts = _codes_perm(m, lo, period, pos)
+        parts = [_staged_rows3(pos, perm, jnp.float32(1e30), chunk)]
+        del pos
+        parts.append(_staged_row1(jnp.asarray(mass, jnp.float32), perm,
+                                  chunk))
+        del mass
+        if vel is None:
+            parts.append(jnp.zeros((3, n + chunk), jnp.float32))
+        else:
+            parts.append(_staged_rows3(jnp.asarray(vel, jnp.float32), perm,
+                                       jnp.float32(0.0), chunk))
+        del vel
+        if ptype is None and mark is None:
+            parts.append(jnp.zeros((1, n + chunk), jnp.float32))
+        else:
+            pt = (jnp.zeros(n, jnp.int32) if ptype is None
+                  else jnp.asarray(ptype, jnp.int32))
+            mk = (jnp.zeros(n, jnp.int32) if mark is None
+                  else jnp.asarray(mark, bool).astype(jnp.int32))
+            parts.append(_staged_row1(pt | (mk << 4), perm, chunk))
+            del pt, mk
+        del ptype, mark
+        phi_s = (_take_rows(jnp.asarray(phi, jnp.float32), perm)
+                 if has_phi else None)
+        del phi
+        soa8t = jnp.concatenate(parts, axis=0)
+        del parts
+        return CellGrid(m, lo, period, None, None, None, phi_s, None, None,
+                        perm, starts, soa8t=soa8t, chunk=chunk,
+                        uniform_mass=um)
+    if owned and n >= STAGED_BUILD_MIN:
+        # staged build, field-wise (the pallas-less / SO_TPU_DEDUP=0
+        # configurations): one permute per provided field, freeing each
+        # unsorted input before touching the next; absent fields are
+        # materialized directly as sorted zeros (permuting a constant
+        # array is the identity).
+        perm, starts = _codes_perm(m, lo, period, pos)
+        pos_s = _take_rows(pos, perm)
+        del pos
+        mass_s = _take_rows(jnp.asarray(mass, jnp.float32), perm)
+        del mass
+
+        def _field(a, shape, dtype):
+            if a is None:
+                return jnp.zeros(shape, dtype)
+            return _take_rows(jnp.asarray(a, dtype), perm)
+
+        vel_s = _field(vel, (n, 3), jnp.float32)
+        del vel
+        phi_s = _field(phi, (n,), jnp.float32)
+        del phi
+        ptype_s = _field(ptype, (n,), jnp.int32)
+        del ptype
+        mark_s = _field(mark, (n,), bool)
+        del mark
+        out = (pos_s, mass_s, vel_s, phi_s, ptype_s, mark_s, perm, starts)
+        del pos_s, mass_s, vel_s, phi_s, ptype_s, mark_s
+    else:
+        mass = jnp.asarray(mass, jnp.float32)
+        vel = jnp.zeros((n, 3), jnp.float32) if vel is None else jnp.asarray(vel, jnp.float32)
+        phi = jnp.zeros(n, jnp.float32) if phi is None else jnp.asarray(phi, jnp.float32)
+        ptype = jnp.zeros(n, jnp.int32) if ptype is None else jnp.asarray(ptype, jnp.int32)
+        mark = jnp.zeros(n, bool) if mark is None else jnp.asarray(mark, bool)
+        build = (_build_device_donated
+                 if owned and jax.default_backend() != "cpu" else _build_device)
+        out = build(m, lo, period, pos, mass, vel, phi, ptype, mark)
+        # free the unsorted device inputs before packing the payload — at
+        # 512^3-class sizes the build-time HBM peak is what limits a single
+        # chip (docs/RESULTS.md round-3 memory budget)
+        del pos, mass, vel, phi, ptype, mark
+    grid = CellGrid(m, lo, period, *out, chunk=chunk, uniform_mass=um)
+    del out
     if pallas:
         from .pallas_gather import pack_soa8t
-        dedup = os.environ.get("SO_TPU_DEDUP", "1") != "0"
         # when dedup drops the sorted arrays right after packing, donate
         # them into the pack: the payload write can then reuse their HBM
         # (pack-time peak ~37 B/particle instead of ~69)

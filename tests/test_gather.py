@@ -87,3 +87,42 @@ def test_gather_inclusive_boundary():
     res = ragged_ball_gather(grid, 0, centers, jnp.asarray([0.1], jnp.float32),
                              d2, K=256, S=5)
     assert int(res.n_in[0]) == 1
+
+
+def test_staged_build_bit_identical(monkeypatch):
+    """The staged large-N build (perm from positions alone + per-field
+    permutes; engaged above grid.STAGED_BUILD_MIN because buffer donation
+    is unusable over the axon backend) must reproduce the one-shot build
+    bit-for-bit — including absent fields materialized as sorted zeros
+    and the soa8t Pallas payload."""
+    from so_tpu.ops import grid as grid_mod
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    vel = rng.normal(size=(n, 3)).astype(np.float32)
+    phi = rng.uniform(-2, -0.1, n).astype(np.float32)
+
+    ptype = rng.integers(0, 3, n).astype(np.int32)
+    mark = rng.integers(0, 2, n).astype(bool)
+    for kw in (dict(vel=vel, phi=phi),            # provided
+               dict(),                            # defaulted (constant rows)
+               dict(vel=vel, ptype=ptype, mark=mark)):  # meta row
+        for pallas in (False, True):
+            one = build_grid(pos, mass, pallas=pallas, **kw)
+            monkeypatch.setattr(grid_mod, "STAGED_BUILD_MIN", 1)
+            staged = build_grid(pos, mass, pallas=pallas, **kw)
+            monkeypatch.setattr(grid_mod, "STAGED_BUILD_MIN", 1 << 25)
+            for f in ("pos", "mass", "vel", "phi", "ptype", "mark",
+                      "orig_idx", "soa8t"):
+                a, b = getattr(one, f), getattr(staged, f)
+                assert (a is None) == (b is None), f
+                if a is not None:
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b), err_msg=f)
+            assert len(one.starts) == len(staged.starts)
+            for sa, sb in zip(one.starts, staged.starts):
+                np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+            assert one.chunk == staged.chunk
+            assert one.uniform_mass == staged.uniform_mass

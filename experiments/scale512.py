@@ -85,7 +85,13 @@ def main():
                  rgtp=rgtp)
         print("gen: cached", flush=True)
 
+    grid = None
     for tag in ("cold", "warm"):
+        # drop the previous grid BEFORE rebuilding: at 512^3 the payload
+        # is ~4.5 GiB, and keeping the cold grid alive through the warm
+        # build both fragments the 16 GB HBM and slowed the warm build
+        # below the cold one (/tmp/scale512.log 2026-08-20)
+        grid = None
         t0 = time.perf_counter()
         grid = build_grid(pos, mass, vel=vel)
         sync(grid.soa8t if grid.soa8t is not None else grid.mass)

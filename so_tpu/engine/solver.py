@@ -783,8 +783,8 @@ def _chunk_for(K: int, slot_budget: int, k_slab: int | None = None) -> int:
     ceiling) hold many live (B, K) temporaries, so their B*K budget is
     much smaller."""
     if K > (K_SLAB_MAX if k_slab is None else k_slab):
-        return max(1, min(64, (1 << 23) // K))
-    return max(1, min(16384, (1 << 26) // K))
+        return max(1, min(64, min(slot_budget, 1 << 23) // K))
+    return max(1, min(16384, min(slot_budget, 1 << 26) // K))
 
 
 def _pad_b(n: int, K: int, k_slab: int | None = None) -> int:
@@ -795,12 +795,17 @@ def _pad_b(n: int, K: int, k_slab: int | None = None) -> int:
     return _pad_to_bucket(n)
 
 
-def _dispatch_chunks(sel: np.ndarray, K: int, slot_budget: int):
+def _dispatch_chunks(sel: np.ndarray, K: int, slot_budget: int,
+                     k_slab: int | None = None):
     """Chunk a live halo set so each dispatch's B*K slot buffers stay
     within the budget — the ONE chunking rule for the survey, fused, and
     classic rounds of solve_rvir (they previously triplicated it, with
-    the survey/fused copies ignoring slot_budget)."""
-    chunk = max(1, min(16384, int(min(slot_budget, 1 << 26) // K)))
+    the survey/fused copies ignoring slot_budget). Defers to _chunk_for
+    so giant-K XLA-fallback tiers get their much smaller budget (they
+    hold many live (B, K) temporaries; a 512^3 classic-round escalation
+    at the full 1<<26 budget OOM'd a 16 GB chip, /tmp/scale512.log
+    2026-08-20)."""
+    chunk = _chunk_for(K, slot_budget, k_slab)
     for lo in range(0, sel.size, chunk):
         yield lo, sel[lo:lo + chunk]
 
@@ -1092,7 +1097,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 pending = None
                 for level, S, b in _level_groups(grid, rads, s_max, K, lam):
                     sel_g, rad_g = idx_arr[b], rads[b]
-                    for lo, part in _dispatch_chunks(sel_g, K, slot_budget):
+                    for lo, part in _dispatch_chunks(sel_g, K, slot_budget,
+                                                     ks):
                         nxt = classify_dispatch(
                             part, rad_g[lo:lo + part.size], level, S)
                         if not _pipelined():
@@ -1177,7 +1183,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 # (kleft=0 removes them from tier-2 eligibility)
                 level2, S2 = level, S
                 kl_zero = True
-            for lo, part in _dispatch_chunks(sel, K, slot_budget):
+            for lo, part in _dispatch_chunks(sel, K, slot_budget, ks):
                 B, c_pad, r_pad = _pad_chunk(part.size, K, centers[part],
                                              radii[lo:lo + part.size], ks)
                 kl_pad = np.zeros(B, np.int32)
@@ -1240,7 +1246,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             radii0 = ladder_radius(rgtp[sel0], k_eff0)
             for level, S, b in _level_groups(grid, radii0, s_max, K, lam):
                 sel, k_eff, radii = sel0[b], k_eff0[b], radii0[b]
-                for lo, part in _dispatch_chunks(sel, K, slot_budget):
+                for lo, part in _dispatch_chunks(sel, K, slot_budget, ks):
                     B, c_pad, r_pad = _pad_chunk(
                         part.size, K, centers[part],
                         radii[lo:lo + part.size], ks)

@@ -559,6 +559,26 @@ def test_channel_aware_slab_ceiling():
     assert solver._pad_b(3, K_mid, 1 << 17) == solver._pad_b(3, 1024)
     assert solver._pad_b(3, K_mid) == 8
 
+    # _dispatch_chunks (the unified solve_rvir chunking) must apply the
+    # same giant-K budget cut as _chunk_for: XLA-fallback tiers hold many
+    # live (B, K) temporaries, and dispatching slot_budget//K halos there
+    # OOM'd a 16 GB chip at 512^3 (/tmp/scale512.log 2026-08-20)
+    sel = np.arange(4096)
+    K_giant = 1 << 18
+    giant_chunks = [p.size for _, p in
+                    solver._dispatch_chunks(sel, K_giant, 1 << 26, 1 << 17)]
+    assert max(giant_chunks) == solver._chunk_for(K_giant, 1 << 26, 1 << 17)
+    assert max(giant_chunks) <= max(1, (1 << 23) // K_giant)
+    slab_chunks = [p.size for _, p in
+                   solver._dispatch_chunks(sel, 4096, 1 << 26, 1 << 17)]
+    assert max(slab_chunks) == min(sel.size,
+                                   solver._chunk_for(4096, 1 << 26, 1 << 17))
+    assert sum(slab_chunks) == sel.size == sum(giant_chunks)
+    # both honor an explicit slot budget below the class default
+    assert solver._chunk_for(4096, 1 << 20, 1 << 17) == (1 << 20) // 4096
+    assert solver._chunk_for(K_giant, 1 << 20, 1 << 17) == \
+        max(1, (1 << 20) // K_giant)
+
 
 def test_pipelined_dispatch_matches_depth1(monkeypatch):
     """The depth-2 dispatch pipeline (dispatch chunk i+1 before applying

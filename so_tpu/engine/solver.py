@@ -123,8 +123,13 @@ def ladder_radius(rgtp: np.ndarray, k: np.ndarray) -> np.ndarray:
 # ladder constants above this K would bloat the jitted program (the giant
 # XLA-fallback tier reaches K ~ the particle count); larger uniform stages
 # synthesize the constant mass row in-program and seq-scan it instead —
-# still no gather channel, identical bits (same serial f32 order)
-_LADDER_KMAX = 1 << 17
+# still no gather channel, identical bits (same serial f32 order).
+# 2^20 matches the largest slab-path tier (k_slab_max(1)): a 4 MB
+# embedded constant beats the 2^20-step sequential scan those giant
+# dispatches would otherwise pay. The whole-box tier (K ~ the particle
+# count) passes its ladder as a runtime argument instead (scan_sorted's
+# ``lad``) — a 0.5 GB constant would bloat the executable.
+_LADDER_KMAX = 1 << 20
 
 
 @lru_cache(maxsize=32)
@@ -136,18 +141,21 @@ def _mass_ladder(m: float, K: int) -> np.ndarray:
     return np.cumsum(np.full(K, np.float32(m), np.float32))
 
 
-def _uniform_cum(uniform_m: float, K: int, n_in, live):
+def _uniform_cum(uniform_m: float, K: int, n_in, live, lad=None):
     """Serial-f32 cumulative mass over bit-identical-mass sorted rows:
     cum(i) = ladder[min(i, n_in-1)] materialized as a broadcast+select
     (no (B,K) gather) — ``live`` is the (B,K) slot<n_in mask. Above
     _LADDER_KMAX (giant tiers) the constant mass row is synthesized
     in-program and seq-scanned instead of embedding a huge ladder
-    constant — identical bits (same serial order). Returns (cum, lad):
-    ``lad`` is None on the seq-scan fallback. Shared by scan_sorted and
-    derived_from_sorted so the Mvir-side and profile-side cumulative
-    masses can never desynchronize."""
-    if K <= _LADDER_KMAX:
+    constant — identical bits (same serial order). ``lad`` supplies the
+    (K,) ladder as a runtime array instead (the whole-box tier, where K
+    is the particle count). Returns (cum, lad): ``lad`` is None on the
+    seq-scan fallback. Shared by scan_sorted and derived_from_sorted so
+    the Mvir-side and profile-side cumulative masses can never
+    desynchronize."""
+    if lad is None and K <= _LADDER_KMAX:
         lad = jnp.asarray(_mass_ladder(uniform_m, K))
+    if lad is not None:
         last = jnp.where(n_in > 0, lad[jnp.maximum(n_in - 1, 0)], 0.0)
         return jnp.where(live, lad[None, :], last[:, None]), lad
     mass_s = jnp.where(live, jnp.float32(uniform_m), 0.0)
@@ -155,7 +163,7 @@ def _uniform_cum(uniform_m: float, K: int, n_in, live):
 
 
 def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int,
-                uniform_m: float | None = None):
+                uniform_m: float | None = None, lad=None):
     """The density scan over distance-sorted hits (shared by the single- and
     multi-device paths). ``mass_s`` must be zero on invalid slots.
     ``vel_s`` may be None (vcm is then computed later, in the member pass).
@@ -168,7 +176,8 @@ def scan_sorted(d2_s, mass_s, vel_s, n_in, thr, n_members: int,
     B, K = d2_s.shape
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     if uniform_m is not None:
-        cum, _ = _uniform_cum(uniform_m, K, n_in, slot < n_in[:, None])
+        cum, _ = _uniform_cum(uniform_m, K, n_in, slot < n_in[:, None],
+                              lad=lad)
     else:
         # C-order float32 accumulation (kd2.c:807) — see ops/seqsum.py
         cum = seq_cumsum(mass_s, axis=1)
@@ -458,6 +467,93 @@ def _solve_stage(grid: CellGrid, level: int, K: int, S: int, n_members: int,
     return pack_stage_out(out)
 
 
+def _whole_box_d2(grid: CellGrid, centers):
+    """(B, N) min-image d2 of every particle against every center, with
+    the reference's exact f32 association (shifted center first — see
+    ops/gather.min_image) and the same left-associated dx2+dy2+dz2 as
+    both gather backends. Reads the payload rows directly (no transposed
+    copy) when present."""
+    n = grid.n
+    if getattr(grid, "soa8t", None) is not None:
+        x, y, z = (grid.soa8t[0, :n], grid.soa8t[1, :n], grid.soa8t[2, :n])
+    else:
+        p = grid.pos
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    px, py, pz = grid.period[0], grid.period[1], grid.period[2]
+    cx, cy, cz = centers[:, 0:1], centers[:, 1:2], centers[:, 2:3]
+    xs, ys, zs = x[None, :], y[None, :], z[None, :]
+    dx = (cx - px * jnp.round((cx - xs) / px)) - xs
+    dy = (cy - py * jnp.round((cy - ys) / py)) - ys
+    dz = (cz - pz * jnp.round((cz - zs) / pz)) - zs
+    return dx * dx + dy * dy + dz * dz
+
+
+@partial(jax.jit, static_argnames=("n_members",))
+def _whole_box_stage(grid: CellGrid, lad, n_members: int, centers, radii,
+                     thr):
+    """Terminal capacity tier for uniform-mass grids: d2 against EVERY
+    particle (no cell machinery, no index materialization), one-operand
+    sort, runtime-ladder cumulative mass. Capacity is the particle count,
+    so overflow is impossible — the analog of the reference's nnList
+    having grown to the whole tree (smooth2.c:49-55 regrow run to N).
+    Bit-identical to the gather stages by construction: same d2
+    association, same unstable sort key set, same serial-f32 ladder.
+    ``lad`` is the (N,) host-side _mass_ladder as a device array."""
+    d2 = _whole_box_d2(grid, centers)
+    r2 = (radii * radii)[:, None]
+    key = jnp.where(d2 <= r2, d2, jnp.inf)
+    n_in = jnp.isfinite(key).sum(axis=1).astype(jnp.int32)
+    d2_s = jax.lax.sort(key, is_stable=False)
+    out = scan_sorted(d2_s, None, None, n_in, thr, n_members,
+                      uniform_m=grid.uniform_mass, lad=lad)
+    out.update(n_in=n_in, overflow=jnp.zeros_like(n_in, dtype=bool))
+    return pack_stage_out(out)
+
+
+@partial(jax.jit, static_argnames=("n_members", "T"))
+def _whole_box_multi_stage(grid: CellGrid, lad, n_members: int, T: int,
+                           centers, radii, thresholds):
+    """Multi-threshold variant of _whole_box_stage: one sorted stream, T
+    scans; emits the same (T+1, B, 5) block as engine.multi._multi_stage."""
+    d2 = _whole_box_d2(grid, centers)
+    r2 = (radii * radii)[:, None]
+    key = jnp.where(d2 <= r2, d2, jnp.inf)
+    n_in = jnp.isfinite(key).sum(axis=1).astype(jnp.int32)
+    d2_s = jax.lax.sort(key, is_stable=False)
+    outs = [scan_sorted(d2_s, None, None, n_in, thresholds[t], n_members,
+                        uniform_m=grid.uniform_mass, lad=lad)
+            for t in range(T)]
+    bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    per_t = jnp.stack([jnp.stack(
+        [o["found"].astype(jnp.int32), o["jstar"],
+         bc(o["mvir"]), bc(o["rvir"]), bc(o["d2cut"])], axis=1)
+        for o in outs])
+    zero = jnp.zeros_like(n_in)
+    tail = jnp.stack([n_in.astype(jnp.int32), zero, zero, zero, zero],
+                     axis=1)[None]
+    return jnp.concatenate([per_t, tail], axis=0)
+
+
+def _wbox_ladder_dev(grid):
+    """Device copy of the whole-box serial-f32 mass ladder, cached on the
+    grid object (one host cumsum + one upload per grid; ~4 B/particle)."""
+    lad = getattr(grid, "_wbox_lad", None)
+    if lad is None:
+        lad = jnp.asarray(_mass_ladder(grid.uniform_mass, grid.n))
+        try:
+            grid._wbox_lad = lad
+        except AttributeError:
+            pass
+    return lad
+
+
+def _wbox_chunk(n_particles: int) -> int:
+    """Halos per whole-box dispatch: each costs a (B, N) sort, so keep
+    B*N within ~2^27 slots (a 0.5 GB key buffer)."""
+    np2 = 1 << int(np.ceil(np.log2(max(n_particles, 2))))
+    return max(1, min(64, (1 << 27) // np2))
+
+
 # ---------------------------------------------------------------------------
 # Host driver
 # ---------------------------------------------------------------------------
@@ -497,23 +593,25 @@ K_SLAB_MAX = _KSLAB_ENV if _KSLAB_ENV is not None else 1 << 15
 def k_slab_max(nch: int) -> int:
     """Slab-path capacity ceiling for an nch-row kernel output window
     (nch counts d2 plus the requested channels). The kernel scales halos
-    per program down to keep the VMEM window within the device's proven
-    bound (pallas_gather.w_max()), so on v5e every production width
-    (nch <= 8) admits K = 2^17 — hardware-validated by
-    experiments/giant_kslab.py (1-row @ 2^17, 2-row @ 2^16) and
-    experiments/wide_window_probe.py (nch 2/4/5/8 hpp-halved windows at
-    K=2^17, compile+run+bit-match, v5e 2026-08-19). On a device whose
-    probed budget is SMALLER, the ceiling scales down so the widest
-    hpp=1 window still fits; it never scales above the validated 2^17
+    per program down to hpp=1 (pallas_slab_gather), so the ceiling is
+    the largest power-of-two K whose ONE-halo window nch x (K+CHUNK) x
+    4 B fits the device's proven VMEM byte bound w_max() — the ceiling
+    is therefore CHANNEL-AWARE: narrow windows (uniform-mass solves
+    gather d2 only) reach K the wide fused windows cannot. On v5e
+    (w_max = 4,210,688 B) that is nch=1 -> 2^20, nch=2 -> 2^19,
+    nch=3/4 -> 2^18, nch 5-8 -> 2^17; every one of those extreme
+    windows is hardware-validated by experiments/wide_window_probe.py
+    (compile+run+bit-match vs the XLA gather, v5e 2026-08-19/20) and
+    experiments/giant_kslab.py. On a device whose probed budget is
+    smaller the ceiling scales down; it never scales above K=2^20
     (larger-VMEM silicon gets no untested extrapolation)."""
     if _KSLAB_ENV is not None:
         return _KSLAB_ENV
     assert nch <= 8, nch
     from ..ops.pallas_gather import CHUNK, w_max
     w = w_max()
-    k = 1 << 17
-    # worst case the halving rule must absorb: nch=8 at hpp=1
-    while k > K_SLAB_MAX and 8 * (k + CHUNK) * 4 > w:
+    k = 1 << 20
+    while k > K_SLAB_MAX and nch * (k + CHUNK) * 4 > w:
         k >>= 1
     return k
 
@@ -563,27 +661,38 @@ def _level_groups(grid, radii: np.ndarray, s_max: int, K: int,
     return [(level, S, np.arange(radii.size))]
 
 
-def _stage_grid(grid, K: int, k_slab: int | None = None):
+_FB_ALL = ("pos", "mass", "ptype", "mark")
+
+
+def _stage_grid(grid, K: int, k_slab: int | None = None,
+                fields: tuple = _FB_ALL):
     """Strip the Pallas payload for giant-K tiers (slab VMEM window).
 
     ``k_slab`` is the calling stage's channel-aware ceiling (k_slab_max);
-    None keeps the conservative 5-row K_SLAB_MAX. On a deduplicated grid
+    None keeps the conservative K_SLAB_MAX. On a deduplicated grid
     (build_grid dropped the per-particle arrays in favor of the payload)
-    the XLA fallback's arrays are first materialized from the payload
-    slices — a transient ~33 B/particle spike, cached on the grid object
-    so repeated giant-tier dispatches reuse it."""
+    the XLA fallback's arrays are materialized from the payload slices —
+    but ONLY the ``fields`` the calling stage reads (the solve touches
+    pos [+mass], members pos only; NO fallback stage reads vel — vcm is
+    host-side). Each field is materialized once and cached on the grid
+    object, so repeated giant-tier dispatches of any stage share one
+    copy: at 512^3 the old all-fields cache held 4.4 GiB against a
+    16 GiB chip (the 2026-08-20 scale-run OOM); pos+mass is 2.1 GiB and
+    the uniform-mass solve needs pos alone (1.6 GiB)."""
     if K > (K_SLAB_MAX if k_slab is None else k_slab) \
             and getattr(grid, 'soa8t', None) is not None:
         import dataclasses
         if getattr(grid, "pos", None) is not None:
             return dataclasses.replace(grid, soa8t=None)
-        fb = getattr(grid, "_xla_fallback", None)
-        if fb is None:
-            fb = dataclasses.replace(
-                grid, soa8t=None, pos=grid.pos_a(), mass=grid.mass_a(),
-                vel=grid.vel_a(), ptype=grid.ptype_a(), mark=grid.mark_a())
-            grid._xla_fallback = fb
-        return fb
+        cache = getattr(grid, "_fb_fields", None)
+        if cache is None:
+            cache = {}
+            grid._fb_fields = cache
+        for f in fields:
+            if f not in cache:
+                cache[f] = getattr(grid, f + "_a")()
+        return dataclasses.replace(
+            grid, soa8t=None, **{f: cache.get(f) for f in _FB_ALL})
     return grid
 
 
@@ -789,9 +898,11 @@ def _chunk_for(K: int, slot_budget: int, k_slab: int | None = None) -> int:
 
 def _pad_b(n: int, K: int, k_slab: int | None = None) -> int:
     """Batch pad bucket; giant-K tiers keep B tiny so B*K slot buffers
-    stay within HBM."""
+    stay within HBM (no minimum pad: an 8-halo pad of a B=1/K=2^23
+    dispatch multiplies its (B,K) temporaries x8 — part of the 512^3
+    scale-run OOM, 2026-08-20)."""
     if K > (K_SLAB_MAX if k_slab is None else k_slab):
-        return max(8, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        return max(1, 1 << int(np.ceil(np.log2(max(n, 1)))))
     return _pad_to_bucket(n)
 
 
@@ -894,9 +1005,18 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
     # uniform-mass, 2 rows general) — giant tiers below it stay on the
     # slab path instead of the XLA fallback
     ks = _solve_kslab(grid)
+    # the XLA fallback reads pos (+mass on non-uniform grids) only
+    fb_fields = ("pos",) if grid.uniform_mass is not None \
+        else ("pos", "mass")
+    # uniform-mass grids route tiers above the slab ceiling to the
+    # whole-box terminal stage instead of the XLA gather fallback: no
+    # per-particle fallback copy, no capacity escalation, one dispatch
+    # per super-giant halo (the ladder-prefix equivalence lets it jump
+    # straight to the final rung — see the module docstring)
+    wbox = default_stage and grid.uniform_mass is not None
     if stage_fn is None:
         stage_fn = lambda level, K, *a: _solve_stage(
-            _stage_grid(grid, K, ks), level, K, *a)
+            _stage_grid(grid, K, ks, fb_fields), level, K, *a)
     G = centers.shape[0]
     period = np.asarray(grid.period, np.float32)
     centers = np.asarray(centers, np.float32)
@@ -1061,9 +1181,9 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                         level, K, S, n_members, c_pad, r_pad, thr_vec)
                 else:
                     out = _classify_stage(
-                        _stage_grid(grid, K, ks), level, K, S, n_members,
-                        jnp.asarray(c_pad), jnp.asarray(r_pad), thr_vec,
-                        T=1)
+                        _stage_grid(grid, K, ks, fb_fields), level, K, S,
+                        n_members, jnp.asarray(c_pad), jnp.asarray(r_pad),
+                        thr_vec, T=1)
                 return (part, B, level, S, t0, out)
 
             def classify_apply(part, B, level, S, t0, out):

@@ -102,7 +102,7 @@ def test_dedup_payload_roundtrip_bit_exact():
     deduplicated grid returns bit-identical arrays to a duplicate-layout
     build of the same inputs, and the giant-K fallback grid
     (solver._stage_grid) materializes the same bits."""
-    from so_tpu.engine.solver import K_SLAB_MAX, _stage_grid
+    from so_tpu.engine.solver import K_SLAB_MAX, _FB_ALL, _stage_grid
 
     rng = np.random.default_rng(21)
     N = 500
@@ -128,8 +128,23 @@ def test_dedup_payload_roundtrip_bit_exact():
     assert fb.soa8t is None
     np.testing.assert_array_equal(np.asarray(fb.pos), np.asarray(g_x.pos))
     np.testing.assert_array_equal(np.asarray(fb.mass), np.asarray(g_x.mass))
-    np.testing.assert_array_equal(np.asarray(fb.vel), np.asarray(g_x.vel))
-    assert _stage_grid(g_d, K_SLAB_MAX + 1) is fb   # cached
+    np.testing.assert_array_equal(np.asarray(fb.ptype),
+                                  np.asarray(g_x.ptype))
+    np.testing.assert_array_equal(np.asarray(fb.mark), np.asarray(g_x.mark))
+    # vcm is host-side: NO fallback stage reads vel, so the fallback grid
+    # deliberately never materializes it (512^3 OOM lesson, 2026-08-20)
+    assert fb.vel is None
+    # each field materializes ONCE into the per-field cache; later
+    # giant-K dispatches of any stage reuse the same device arrays
+    cache = g_d._fb_fields
+    assert set(cache) == set(_FB_ALL)
+    fb2 = _stage_grid(g_d, K_SLAB_MAX + 1)
+    assert fb2.pos is cache["pos"] and fb.pos is cache["pos"]
+    assert fb2.mass is cache["mass"]
+    # a narrower field request (the uniform-mass solve reads pos alone)
+    # still reuses the shared cache entries
+    fb3 = _stage_grid(g_d, K_SLAB_MAX + 1, fields=("pos",))
+    assert fb3.pos is cache["pos"]
 
     # phi provided -> carried through dedup for the -pot paths
     g_phi = build_grid(pos, mass, phi=mass * 2, pallas=True, **kw)

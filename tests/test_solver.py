@@ -484,48 +484,56 @@ def test_uniform_cum_giant_fallback_matches_ladder(monkeypatch):
 
 
 def test_channel_aware_slab_ceiling():
-    """k_slab_max is channel-independent (flat 2^17 for every production
-    width nch <= 8 on v5e-class budgets): pallas_slab_gather halves its
-    per-program halo count until the VMEM output window fits the device's
-    proven bound w_max(), so the widest window any stage can request
-    (hpp=1, nch=8, K=2^17) still fits. On a smaller probed budget the
-    ceiling scales down with it. _stage_grid keeps the payload up to the
-    caller's ceiling and strips it above; the batch heuristics classify
-    slab/fallback tiers by the same ceiling."""
+    """k_slab_max is CHANNEL-AWARE: pallas_slab_gather scales halos per
+    program down to hpp=1, so the ceiling is the largest power-of-two K
+    whose ONE-halo window nch*(K+CHUNK)*4 B fits the device's proven
+    bound w_max(). On v5e that is nch=1 -> 2^20, nch=2 -> 2^19,
+    nch=3/4 -> 2^18, nch 5-8 -> 2^17; it never scales above 2^20. On a
+    smaller probed budget every ceiling scales down with it. _stage_grid
+    keeps the payload up to the caller's ceiling and strips it above;
+    the batch heuristics classify slab/fallback tiers by the same
+    ceiling."""
     import pytest
 
     from so_tpu.engine import solver
     from so_tpu.ops import build_grid, pallas_gather
 
     # CPU backend (conftest): w_max() resolves to the conservative
-    # default = the v5e-proven window, so the ceiling is the full 2^17
+    # default = the v5e-proven window
     assert pallas_gather.w_max() == pallas_gather.W_MAX_DEFAULT
-    for nch in range(1, 9):
-        assert solver.k_slab_max(nch) == 1 << 17
+    CHUNK = pallas_gather.CHUNK
+    expect = {1: 1 << 20, 2: 1 << 19, 3: 1 << 18, 4: 1 << 18,
+              5: 1 << 17, 6: 1 << 17, 7: 1 << 17, 8: 1 << 17}
+    for nch, want in expect.items():
+        assert solver.k_slab_max(nch) == want, nch
+        # the one-halo window fits the proven byte bound...
+        assert nch * (want + CHUNK) * 4 <= pallas_gather.w_max()
+        # ...and doubling K would not (unless already at the 2^20 cap)
+        if want < 1 << 20:
+            assert nch * (2 * want + CHUNK) * 4 > pallas_gather.w_max()
     with pytest.raises(AssertionError):
         solver.k_slab_max(9)
     assert solver.K_SLAB_MAX == 1 << 15      # legacy default untouched
 
-    # the halving math: at every (nch, K <= k_slab_max(nch)) the kernel
+    # the halving math: at every (nch, K = k_slab_max(nch)) the kernel
     # finds an hpp >= 1 whose output window fits the proven bound
-    CHUNK = pallas_gather.CHUNK
-    for nch in range(1, 9):
-        K = solver.k_slab_max(nch)
+    for nch, K in expect.items():
         Kp = ((K + CHUNK) // CHUNK) * CHUNK
         hpp = pallas_gather.HPP
         while hpp > 1 and hpp * nch * Kp * 4 > pallas_gather.w_max():
             hpp //= 2
         assert hpp * nch * Kp * 4 <= pallas_gather.w_max(), (nch, K, hpp)
 
-    # a smaller device budget scales the ceiling down so nch=8 at hpp=1
-    # still fits (and never above the validated 2^17)
+    # a smaller device budget scales every ceiling down; a huge budget
+    # never raises any ceiling above 2^20 (no untested extrapolation)
     saved = pallas_gather.W_MAX
     try:
         pallas_gather.W_MAX = 8 * ((1 << 15) + CHUNK) * 4
         assert solver.k_slab_max(8) == 1 << 15
-        assert solver.k_slab_max(1) == 1 << 15
-        pallas_gather.W_MAX = 10 * 8 * ((1 << 17) + CHUNK) * 4  # huge
-        assert solver.k_slab_max(8) == 1 << 17   # capped at validated max
+        assert solver.k_slab_max(1) == 1 << 18
+        pallas_gather.W_MAX = 1 << 40                        # huge
+        assert solver.k_slab_max(1) == 1 << 20
+        assert solver.k_slab_max(8) == 1 << 20
     finally:
         pallas_gather.W_MAX = saved
 
@@ -536,18 +544,18 @@ def test_channel_aware_slab_ceiling():
     g_g = build_grid(pos, rng.uniform(1, 2, N).astype(np.float32),
                      pallas=True)
     assert g_u.uniform_mass is not None and g_g.uniform_mass is None
-    assert solver._solve_kslab(g_u) == 1 << 17
-    assert solver._solve_kslab(g_g) == 1 << 17
+    # solve/classify gather d2 only on uniform-mass grids (1 row),
+    # d2+mass otherwise (2 rows)
+    assert solver._solve_kslab(g_u) == 1 << 20
+    assert solver._solve_kslab(g_g) == 1 << 19
 
     # payload survives between the legacy and stage ceilings...
     K_mid = (1 << 15) + 1
-    assert solver._stage_grid(g_u, K_mid, solver._solve_kslab(g_u)).soa8t \
-        is not None
-    assert solver._stage_grid(g_u, 1 << 17,
-                              solver._solve_kslab(g_u)).soa8t is not None
+    ks_u = solver._solve_kslab(g_u)
+    assert solver._stage_grid(g_u, K_mid, ks_u).soa8t is not None
+    assert solver._stage_grid(g_u, ks_u, ks_u).soa8t is not None
     # ...and is stripped above the stage ceiling
-    assert solver._stage_grid(g_u, (1 << 17) + 1,
-                              solver._solve_kslab(g_u)).soa8t is None
+    assert solver._stage_grid(g_u, ks_u + 1, ks_u).soa8t is None
     # default (no ceiling arg) keeps the conservative behavior
     assert solver._stage_grid(g_u, K_mid).soa8t is None
 
@@ -557,7 +565,11 @@ def test_channel_aware_slab_ceiling():
     assert solver._chunk_for(K_mid, 1 << 26, 1 << 17) > \
         solver._chunk_for(K_mid, 1 << 26, None)
     assert solver._pad_b(3, K_mid, 1 << 17) == solver._pad_b(3, 1024)
-    assert solver._pad_b(3, K_mid) == 8
+    # giant-K tiers pad to the next power of two with NO minimum (an
+    # 8-halo floor multiplied a B=1/K=2^23 dispatch's temporaries x8 —
+    # part of the 512^3 scale-run OOM, 2026-08-20)
+    assert solver._pad_b(3, K_mid) == 4
+    assert solver._pad_b(1, K_mid) == 1
 
     # _dispatch_chunks (the unified solve_rvir chunking) must apply the
     # same giant-K budget cut as _chunk_for: XLA-fallback tiers hold many

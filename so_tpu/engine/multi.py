@@ -105,9 +105,13 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
     # channel-aware slab ceiling: the multi stage gathers like the solve
     # (d2 only on uniform-mass grids, d2+mass otherwise)
     ks = _solver._solve_kslab(grid)
+    # the XLA fallback reads pos (+mass on non-uniform grids) only
+    fb_fields = ("pos",) if grid.uniform_mass is not None \
+        else ("pos", "mass")
     if stage_fn is None:
         stage_fn = lambda level, K, S, nm, T_, c, r: _multi_stage(
-            _stage_grid(grid, K, ks), level, K, S, nm, T_, c, r, thr_dev)
+            _stage_grid(grid, K, ks, fb_fields), level, K, S, nm, T_, c, r,
+            thr_dev)
     if getattr(grid, "soa8t", None) is not None:
         s_max = min(s_max, 7)
 
@@ -148,7 +152,8 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                         np.asarray(thr_dev)))
                 else:
                     arr = np.asarray(_classify_stage(
-                        _stage_grid(grid, K, ks), level, K, S, n_members,
+                        _stage_grid(grid, K, ks, fb_fields), level, K, S,
+                        n_members,
                         jnp.asarray(c_pad), jnp.asarray(r_pad), thr_dev,
                         T=T))
                 w0 = arr[:part.size, 0]
@@ -182,6 +187,71 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                 part = live[start + lo:start + lo + chunk]
                 classify(part, radii_all[start + lo:start + lo + part.size])
 
+    # uniform-mass grids route capacity tiers above the slab ceiling to
+    # the whole-box terminal stage instead of the XLA gather fallback
+    # (see solver.solve_rvir — same tier, multi-threshold scan block)
+    wbox = not injected and grid.uniform_mass is not None
+
+    def _apply_block(part, arr):
+        """One round of verdicts + escalation from a (T+1, B, 5) stage
+        block — shared by the gather and whole-box dispatch paths (the
+        whole-box rows always carry overflow=0)."""
+        n_in = arr[T, :part.size, 0]
+        ovf = arr[T, :part.size, 1].astype(bool)
+        found = arr[:T, :part.size, 0].astype(bool)  # (T, b)
+        jstar = arr[:T, :part.size, 1]
+        flts = np.ascontiguousarray(
+            arr[:T, :part.size, 2:5]).view(np.float32)
+
+        at_cap_k = cur_k[part] >= kmax[part]
+        m1 = minus1_open[part]
+        is_m1 = m1 & ~ovf & (n_in < n_members)      # (b,)
+        minus1_open[part[n_in >= n_members]] = False
+
+        ok = ~ovf[None, :]
+        is_m2 = ok & found & (jstar == n_members - 2) & ~is_m1[None, :]
+        is_succ = ok & found & (jstar > n_members - 2) & ~is_m1[None, :]
+        is_m3 = (ok & ~found & at_cap_k[None, :] & ~is_m1[None, :]
+                 & ~minus1_open[part][None, :])
+
+        for t in range(T):
+            idx = part[is_m1]
+            code[t, idx] = -1; mvir[t, idx] = -1.0; rvir[t, idx] = -1.0
+            resolved[t, idx] = True
+            idx = part[is_m2[t]]
+            code[t, idx] = -2; mvir[t, idx] = -2.0; rvir[t, idx] = -2.0
+            resolved[t, idx] = True
+            idx = part[is_m3[t]]
+            code[t, idx] = -3; mvir[t, idx] = -3.0; rvir[t, idx] = -3.0
+            resolved[t, idx] = True
+            su = is_succ[t]
+            idx = part[su]
+            code[t, idx] = 0
+            mvir[t, idx] = flts[t, su, 0]
+            # host-exact Rvir from the f32 Mvir bits (see
+            # solver.rvir_reference_bits — the device cbrt's last
+            # ulp is observable in every downstream boundary)
+            rvir[t, idx] = rvir_reference_bits(flts[t, su, 0],
+                                               thresholds[t])
+            d2cut[t, idx] = flts[t, su, 2]
+            jout[t, idx] = jstar[t, su]
+            resolved[t, idx] = True
+
+        halo_done = resolved[:, part].all(axis=0)
+        rest = ~halo_done
+        grow_cap = rest & ovf
+        cur_cap[part[grow_cap]] = np.minimum(
+            cur_cap[part[grow_cap]] * 4,
+            max(2 * _k_limit(grid, s_max), k0_cap))
+        grow_ball = rest & ~ovf & ~at_cap_k
+        gi = part[grow_ball]
+        cur_k[gi] = np.minimum(cur_k[gi] + DK, kmax[gi])
+        vol_ratio = int(np.ceil(1.2 ** (3 * DK)))
+        est = (n_in[grow_ball].astype(np.int64) + 64) * vol_ratio
+        cur_cap[gi] = np.maximum(cur_cap[gi], np.minimum(
+            2 ** np.ceil(np.log2(np.maximum(est, 1))).astype(np.int64),
+            max(2 * _k_limit(grid, s_max), k0_cap)))
+
     guard = 0
     while not resolved.all():
         guard += 1
@@ -189,10 +259,39 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
             raise RuntimeError("multi-threshold solver escalation runaway")
         live = np.nonzero(~resolved.all(axis=0))[0]
         if guard > 1 and live.size:
-            cur_cap[live] = cur_cap[live].max()
+            if wbox:
+                kl = _k_limit(grid, s_max)
+                sub = live[np.minimum(cur_cap[live], kl) <= ks]
+                if sub.size:
+                    cur_cap[sub] = cur_cap[sub].max()
+            else:
+                cur_cap[live] = cur_cap[live].max()
         for capacity in np.unique(cur_cap[live]):
             sel0 = live[cur_cap[live] == capacity]
             K = int(min(capacity, _k_limit(grid, s_max)))
+            if wbox and K > ks and sel0.size:
+                # terminal whole-box tier (see solver.solve_rvir): jump
+                # halos whose -1 verdict is closed straight to their
+                # final rung; a still-open -1 halo dispatches at its
+                # current rung to decide -1 exactly first
+                lad = _solver._wbox_ladder_dev(grid)
+                Bw = _solver._wbox_chunk(grid.n)
+                k_dst = np.where(minus1_open[sel0],
+                                 np.minimum(cur_k[sel0], kmax[sel0]),
+                                 kmax[sel0]).astype(np.int32)
+                cur_k[sel0] = k_dst
+                radii_w = ladder_radius(rgtp[sel0], k_dst)
+                for lo in range(0, sel0.size, Bw):
+                    part = sel0[lo:lo + Bw]
+                    c_pad = np.zeros((Bw, 3), np.float32)
+                    r_pad = np.zeros(Bw, np.float32)
+                    c_pad[:part.size] = centers[part]
+                    r_pad[:part.size] = radii_w[lo:lo + part.size]
+                    arr = np.asarray(_solver._whole_box_multi_stage(
+                        grid, lad, n_members, T, jnp.asarray(c_pad),
+                        jnp.asarray(r_pad), thr_dev))
+                    _apply_block(part, arr)
+                continue
             k_eff0 = np.minimum(cur_k[sel0], kmax[sel0])
             radii0 = ladder_radius(rgtp[sel0], k_eff0)
             chunk = _chunk_for(K, slot_budget, ks)
@@ -209,60 +308,6 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                 arr = np.asarray(stage_fn(
                     level, K, S, n_members, T,
                     jnp.asarray(c_pad), jnp.asarray(r_pad)))
-                n_in = arr[T, :part.size, 0]
-                ovf = arr[T, :part.size, 1].astype(bool)
-                found = arr[:T, :part.size, 0].astype(bool)  # (T, b)
-                jstar = arr[:T, :part.size, 1]
-                flts = np.ascontiguousarray(
-                    arr[:T, :part.size, 2:5]).view(np.float32)
-
-                at_cap_k = cur_k[part] >= kmax[part]
-                m1 = minus1_open[part]
-                is_m1 = m1 & ~ovf & (n_in < n_members)      # (b,)
-                minus1_open[part[n_in >= n_members]] = False
-
-                ok = ~ovf[None, :]
-                is_m2 = ok & found & (jstar == n_members - 2) & ~is_m1[None, :]
-                is_succ = ok & found & (jstar > n_members - 2) & ~is_m1[None, :]
-                is_m3 = (ok & ~found & at_cap_k[None, :] & ~is_m1[None, :]
-                         & ~minus1_open[part][None, :])
-
-                for t in range(T):
-                    idx = part[is_m1]
-                    code[t, idx] = -1; mvir[t, idx] = -1.0; rvir[t, idx] = -1.0
-                    resolved[t, idx] = True
-                    idx = part[is_m2[t]]
-                    code[t, idx] = -2; mvir[t, idx] = -2.0; rvir[t, idx] = -2.0
-                    resolved[t, idx] = True
-                    idx = part[is_m3[t]]
-                    code[t, idx] = -3; mvir[t, idx] = -3.0; rvir[t, idx] = -3.0
-                    resolved[t, idx] = True
-                    su = is_succ[t]
-                    idx = part[su]
-                    code[t, idx] = 0
-                    mvir[t, idx] = flts[t, su, 0]
-                    # host-exact Rvir from the f32 Mvir bits (see
-                    # solver.rvir_reference_bits — the device cbrt's last
-                    # ulp is observable in every downstream boundary)
-                    rvir[t, idx] = rvir_reference_bits(flts[t, su, 0],
-                                                       thresholds[t])
-                    d2cut[t, idx] = flts[t, su, 2]
-                    jout[t, idx] = jstar[t, su]
-                    resolved[t, idx] = True
-
-                halo_done = resolved[:, part].all(axis=0)
-                rest = ~halo_done
-                grow_cap = rest & ovf
-                cur_cap[part[grow_cap]] = np.minimum(
-                    cur_cap[part[grow_cap]] * 4,
-                    max(2 * _k_limit(grid, s_max), k0_cap))
-                grow_ball = rest & ~ovf & ~at_cap_k
-                gi = part[grow_ball]
-                cur_k[gi] = np.minimum(cur_k[gi] + DK, kmax[gi])
-                vol_ratio = int(np.ceil(1.2 ** (3 * DK)))
-                est = (n_in[grow_ball].astype(np.int64) + 64) * vol_ratio
-                cur_cap[gi] = np.maximum(cur_cap[gi], np.minimum(
-                    2 ** np.ceil(np.log2(np.maximum(est, 1))).astype(np.int64),
-                    max(2 * _k_limit(grid, s_max), k0_cap)))
+                _apply_block(part, arr)
     return MultiSolveResult(code=code, mvir=mvir, rvir=rvir, j=jout,
                             d2cut=d2cut)

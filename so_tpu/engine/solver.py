@@ -536,10 +536,15 @@ def _whole_box_multi_stage(grid: CellGrid, lad, n_members: int, T: int,
 
 def _wbox_ladder_dev(grid):
     """Device copy of the whole-box serial-f32 mass ladder, cached on the
-    grid object (one host cumsum + one upload per grid; ~4 B/particle)."""
+    grid object (one host cumsum + one upload per grid; ~4 B/particle).
+    Built with a direct np.cumsum, NOT _mass_ladder: its lru_cache would
+    pin a ~0.5 GB host array at 512^3 on top of this per-grid cache (the
+    cumsum semantics are identical — ufunc.accumulate's sequential
+    left-associated f32 order)."""
     lad = getattr(grid, "_wbox_lad", None)
     if lad is None:
-        lad = jnp.asarray(_mass_ladder(grid.uniform_mass, grid.n))
+        lad = jnp.asarray(np.cumsum(
+            np.full(grid.n, np.float32(grid.uniform_mass), np.float32)))
         try:
             grid._wbox_lad = lad
         except AttributeError:
@@ -599,11 +604,14 @@ def k_slab_max(nch: int) -> int:
     is therefore CHANNEL-AWARE: narrow windows (uniform-mass solves
     gather d2 only) reach K the wide fused windows cannot. On v5e
     (w_max = 4,210,688 B) that is nch=1 -> 2^20, nch=2 -> 2^19,
-    nch=3/4 -> 2^18, nch 5-8 -> 2^17; every one of those extreme
-    windows is hardware-validated by experiments/wide_window_probe.py
-    (compile+run+bit-match vs the XLA gather, v5e 2026-08-19/20) and
-    experiments/giant_kslab.py. On a device whose probed budget is
-    smaller the ceiling scales down; it never scales above K=2^20
+    nch=3/4 -> 2^18, nch 5-8 -> 2^17. The BYTE budget is
+    hardware-proven (the w_max probe and the same-byte windows of
+    experiments/wide_window_probe.py at K=2^17, v5e 2026-08-19/20);
+    whether the K>2^17 SHAPES also compile on silicon is validated by
+    the per-nch maximal-window pass of the same probe — run it on the
+    device and check docs/RESULTS.md for the dated table before
+    trusting a new silicon revision. On a device whose probed budget
+    is smaller the ceiling scales down; it never scales above K=2^20
     (larger-VMEM silicon gets no untested extrapolation)."""
     if _KSLAB_ENV is not None:
         return _KSLAB_ENV
@@ -1344,9 +1352,19 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             raise RuntimeError("solver failed to converge (escalation runaway)")
         live = np.nonzero(~resolved)[0]
         # unify the capacity tier across the round: the tail population is
-        # small, so one shared dispatch beats per-tier program switches
+        # small, so one shared dispatch beats per-tier program switches.
+        # With the whole-box terminal tier in play, unify only WITHIN the
+        # gather tiers: lifting sub-ceiling halos into a giant tier would
+        # drag them through full-box sorts they don't need (and the giant
+        # halos are terminal in one wbox dispatch anyway)
         if guard > 1 and live.size:
-            cur_cap[live] = cur_cap[live].max()
+            if wbox:
+                kl = _k_limit(grid, s_max)
+                sub = live[np.minimum(cur_cap[live], kl) <= ks]
+                if sub.size:
+                    cur_cap[sub] = cur_cap[sub].max()
+            else:
+                cur_cap[live] = cur_cap[live].max()
         caps = np.unique(cur_cap[live])
         # pipeline depth 2 across the round's dispatches (disjoint halo
         # sets; apply_round only touches its own halos) — flushed before
@@ -1362,6 +1380,41 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         for capacity in caps:
             sel0 = live[cur_cap[live] == capacity]
             K = int(min(capacity, _k_limit(grid, s_max)))
+            if wbox and K > ks and sel0.size:
+                # terminal whole-box tier for uniform-mass giants: d2
+                # against EVERY particle, so capacity is the particle
+                # count and overflow is impossible. The ladder-prefix
+                # equivalence (module docstring) lets a halo whose -1
+                # verdict is closed jump straight to its FINAL rung —
+                # one dispatch settles it as success/-2/-3, with no
+                # per-particle fallback copy and no escalation (the
+                # giant B=8/K=2^21 XLA-fallback OOM at 512^3,
+                # RESULTS_TPU.md 2026-08-20). A still-open -1 halo (only
+                # possible while every prior round overflowed, so still
+                # at rung 1) dispatches at its current rung to decide
+                # -1 exactly first.
+                lad = _wbox_ladder_dev(grid)
+                Bw = _wbox_chunk(grid.n)
+                k_dst = np.where(minus1_open[sel0],
+                                 np.minimum(cur_k[sel0], kmax[sel0]),
+                                 kmax[sel0]).astype(np.int32)
+                radii_w = ladder_radius(rgtp[sel0], k_dst)
+                for lo in range(0, sel0.size, Bw):
+                    part = sel0[lo:lo + Bw]
+                    nb = part.size
+                    c_pad = np.zeros((Bw, 3), np.float32)
+                    r_pad = np.zeros(Bw, np.float32)
+                    c_pad[:nb] = centers[part]
+                    r_pad[:nb] = radii_w[lo:lo + nb]
+                    t0 = _pc()
+                    packed = _whole_box_stage(
+                        grid, lad, n_members, jnp.asarray(c_pad),
+                        jnp.asarray(r_pad), thr32)
+                    ints, flts = unpack_stage_out(np.asarray(packed)[:nb])
+                    _dbg_stage("wbox", t0, B=Bw, K=grid.n, n=nb)
+                    apply_round(part, ints, flts, k_dst[lo:lo + nb],
+                                grid.n)
+                continue
             k_eff0 = np.minimum(cur_k[sel0], kmax[sel0])
             radii0 = ladder_radius(rgtp[sel0], k_eff0)
             for level, S, b in _level_groups(grid, radii0, s_max, K, lam):

@@ -411,12 +411,14 @@ def build_grid(pos, mass, vel=None, phi=None, ptype=None, mark=None,
     del out
     if pallas:
         from .pallas_gather import pack_soa8t
-        # when dedup drops the sorted arrays right after packing, donate
-        # them into the pack: the payload write can then reuse their HBM
-        # (pack-time peak ~37 B/particle instead of ~69)
-        pack = jax.jit(pack_soa8t, static_argnames=("chunk",),
-                       donate_argnums=(0, 1, 2, 3, 4) if dedup
-                       and jax.default_backend() != "cpu" else ())
+        # NOT donated: XLA input->output aliasing needs matching
+        # shape/layout, and none of the five sorted fields can alias the
+        # single (8, n+chunk) payload — a donate_argnums here is a no-op
+        # that only emits "Some donated buffers were not usable"
+        # (BENCH_r04 tail). The sorted duplicates are freed right below
+        # by the dedup drop instead; giant builds avoid them entirely
+        # via the staged row-block path (STAGED_BUILD_MIN).
+        pack = jax.jit(pack_soa8t, static_argnames=("chunk",))
         grid.soa8t = pack(grid.pos, grid.mass, grid.vel, grid.ptype,
                           grid.mark, chunk=grid.chunk)
         if dedup:

@@ -667,3 +667,88 @@ def test_rvir_reference_bits_matches_compiled_c(tmp_path):
         got = rvir_reference_bits(mass, thr)
         np.testing.assert_array_equal(got.view(np.int32),
                                       out.view(np.int32))
+
+
+def test_whole_box_terminal_tier_bit_equal(monkeypatch):
+    """Uniform-mass giant capacity tiers route to the whole-box terminal
+    stage (d2 against EVERY particle, overflow impossible, jump to the
+    final ladder rung for halos whose -1 verdict is closed) — and the
+    results are BIT-identical to the pure gather escalation across the
+    K > k_slab boundary, by the ladder-prefix equivalence (solver module
+    docstring). Covers solve_rvir and solve_rvir_multi. This is the
+    terminal tier that replaces the giant-K XLA fallback whose B=8/K=2^21
+    escalation OOM'd the 512^3 full-catalog run (RESULTS_TPU.md
+    2026-08-20)."""
+    from so_tpu.engine import multi as multi_mod
+    from so_tpu.engine import solver
+
+    rng = np.random.default_rng(93)
+    d = make_clumpy_box(
+        rng, n_background=4000,
+        clumps=[dict(center=(0.05, -0.1, 0.2), n=4000, rmax=0.08,
+                     mass_total=0.5)])
+    n = d["pos"].shape[0]
+    mass = np.full(n, np.float32(1.0 / n), np.float32)  # uniform ladder
+    grid = build_grid(d["pos"], mass, m=3)
+    assert grid.uniform_mass is not None
+
+    G = 48
+    centers = np.concatenate([
+        np.asarray([0.05, -0.1, 0.2], np.float32)[None, :]
+        + rng.normal(scale=0.01, size=(G - 8, 3)).astype(np.float32),
+        rng.uniform(-0.5, 0.5, (8, 3)).astype(np.float32)]).astype(
+            np.float32)
+    rgtp = rng.uniform(0.004, 0.02, G).astype(np.float32)
+    thr = 178.0
+
+    base = solve_rvir(grid, centers, rgtp, thr, k0_cap=64, fused=False,
+                      survey=False)
+    assert (base.code == 0).any() and (base.code < 0).any()
+
+    # force the slab ceiling tiny so the clump halos' capacity
+    # escalation crosses the giant boundary immediately
+    monkeypatch.setattr(solver, "k_slab_max", lambda nch: 256)
+    hits = []
+    orig = solver._whole_box_stage
+    monkeypatch.setattr(
+        solver, "_whole_box_stage",
+        lambda *a, **k: (hits.append(1), orig(*a, **k))[1])
+    got = solve_rvir(grid, centers, rgtp, thr, k0_cap=64, fused=False,
+                     survey=False)
+    assert hits, "no whole-box dispatch fired: boundary not crossed"
+    np.testing.assert_array_equal(got.code, base.code)
+    np.testing.assert_array_equal(got.mvir.view(np.int32),
+                                  base.mvir.view(np.int32))
+    np.testing.assert_array_equal(got.rvir.view(np.int32),
+                                  base.rvir.view(np.int32))
+    np.testing.assert_array_equal(got.j, base.j)
+    np.testing.assert_array_equal(got.d2cut.view(np.int32),
+                                  base.d2cut.view(np.int32))
+    # kcap stays a sufficient re-gather capacity (each halo resolved at
+    # its recorded capacity without overflow); it need not match the
+    # base run's, whose full-round unification inflates the tail tiers
+
+    # multi-threshold: the same terminal tier, same bits per threshold
+    thresholds = [100.0, 178.0]
+    wm = []
+    orig_m = solver._whole_box_multi_stage
+    monkeypatch.setattr(
+        solver, "_whole_box_multi_stage",
+        lambda *a, **k: (wm.append(1), orig_m(*a, **k))[1])
+    mgot = multi_mod.solve_rvir_multi(grid, centers, rgtp, thresholds,
+                                      k0_cap=64, survey=False)
+    assert wm, "no whole-box multi dispatch fired"
+    for t, thr_t in enumerate(thresholds):
+        single = solve_rvir(grid, centers, rgtp, float(thr_t), k0_cap=64,
+                            fused=False, survey=False)
+        np.testing.assert_array_equal(mgot.code[t], single.code,
+                                      err_msg=f"thr={thr_t}")
+        np.testing.assert_array_equal(mgot.mvir[t].view(np.int32),
+                                      single.mvir.view(np.int32),
+                                      err_msg=f"thr={thr_t}")
+        np.testing.assert_array_equal(mgot.rvir[t].view(np.int32),
+                                      single.rvir.view(np.int32),
+                                      err_msg=f"thr={thr_t}")
+        np.testing.assert_array_equal(mgot.d2cut[t].view(np.int32),
+                                      single.d2cut.view(np.int32),
+                                      err_msg=f"thr={thr_t}")

@@ -1,14 +1,27 @@
 """Benchmark: halo R_Delta solves/sec on one chip.
 
-Synthetic cosmological box (uniform background + clustered r^-2 halos),
-solved with the production batched engine. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "solves/sec", "vs_baseline": N}
+Synthetic cosmological boxes (uniform background + clustered r^-2 halos),
+solved with the production batched engine, across the three regimes the
+round reports track (VERDICT r4 item 5):
+
+  standard  2^21 particles / 16,384 halos   (solve + e2e pipeline)
+  dense     2^23 particles / 65,536 halos   (solve + e2e pipeline)
+  survey    2^25 particles / 1,000,000 halos (auto-survey solve)
+
+Prints ONE JSON line. The headline metric/value/unit/vs_baseline keep the
+driver contract (standard-box solve rate vs the 1e5/s north star); the
+"rows" key carries every regime's measured numbers so BENCH_r{N}.json is
+the artifact of record for all three.
+
+SO_BENCH_MODE: "all" (default) | "standard" | "dense" | "survey" | "e2e"
+("e2e" = standard box only, headline the end-to-end pipeline rate).
 
 Baseline: the BASELINE.md north-star target of 1e5 R_Delta solves/sec on a
 single TPU chip (the reference itself publishes no numbers; its measured
 rate is ~1e3/s on one CPU core for comparable work).
 """
 
+import gc
 import json
 import os
 import sys
@@ -46,43 +59,38 @@ def make_box(rng, n_particles, n_halos):
     return pos, mass, vel, centers, rgtp
 
 
-def main():
-    n_particles = int(os.environ.get("SO_BENCH_PARTICLES", 2 ** 21))  # ~2M
-    n_halos = int(os.environ.get("SO_BENCH_HALOS", 16384))
-
-    import jax
-
-    # kernel compiles over the remote-TPU tunnel take minutes; persist them
-    if (jax.default_backend() != "cpu"
-            and not jax.config.jax_compilation_cache_dir):
-        # (CPU is excluded: this image's XLA:CPU AOT loader mis-reads its
-        # own cache entries; see tests/conftest.py)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/so_tpu_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from so_tpu.engine.solver import solve_rvir
-    from so_tpu.ops import build_grid
-
+def measure_rtt():
+    """Tunnel round-trip latency: median of tiny dispatch+fetch pairs."""
     import jax.numpy as jnp
 
-    def sync(a):
-        # jax.block_until_ready does NOT block over the axon tunnel; a
-        # 1-element fetch is the reliable device sync
-        np.asarray(jax.device_get(a[..., :1]))
-
-    rng = np.random.default_rng(12345)
-    t0 = time.perf_counter()
-    pos, mass, vel, centers, rgtp = make_box(rng, n_particles, n_halos)
-    gen_s = time.perf_counter() - t0
-
-    # tunnel round-trip latency: median of tiny dispatch+fetch pairs
     one = jnp.zeros((), jnp.float32)
     rtts = []
     for i in range(7):
         t0 = time.perf_counter()
         np.asarray(one + np.float32(i))
         rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts[1:]))
+    return float(np.median(rtts[1:]))
+
+
+def bench_box(tag, n_particles, n_halos, survey, rtt, do_e2e, seed=12345):
+    """One regime: build the box + grid, time the solve (best-of-reps with
+    a device-time estimate), optionally the full pipeline. Returns the
+    row dict for the JSON artifact."""
+    import jax
+
+    from so_tpu.engine import solver as _solver
+    from so_tpu.engine.solver import solve_rvir
+    from so_tpu.ops import build_grid
+
+    def sync(a):
+        # jax.block_until_ready does NOT block over the axon tunnel; a
+        # 1-element fetch is the reliable device sync
+        np.asarray(jax.device_get(a[..., :1]))
+
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    pos, mass, vel, centers, rgtp = make_box(rng, n_particles, n_halos)
+    gen_s = time.perf_counter() - t0
 
     def timed_build():
         t0 = time.perf_counter()
@@ -101,19 +109,18 @@ def main():
     grid, build_s = timed_build()
 
     thr = 178.0
-    survey = os.environ.get("SO_BENCH_SURVEY") == "1"
     # warmup: compiles every tier this workload touches
     t0 = time.perf_counter()
     res = solve_rvir(grid, centers, rgtp, thr, survey=survey)
     warm_s = time.perf_counter() - t0
 
-    # best-of-5: remote-tunnel latency and terminal throttling drift
-    # run-to-run; the minimum is the reproducible device time
-    from so_tpu.engine import solver as _solver
-
+    # best-of-reps: remote-tunnel latency and terminal throttling drift
+    # run-to-run; the minimum is the reproducible device time. The giant
+    # survey box takes ~24 s per rep — 2 reps keep the driver run bounded.
+    n_reps = 5 if n_halos <= (1 << 17) else 2
     reps = []
     disp = []
-    for _ in range(5):
+    for _ in range(n_reps):
         d0 = _solver.DISPATCHES
         t0 = time.perf_counter()
         res = solve_rvir(grid, centers, rgtp, thr, survey=survey)
@@ -131,14 +138,14 @@ def main():
         os.environ["SO_TPU_PIPELINE"] = "0"
         try:
             d1 = []
-            for _ in range(3):
+            for _ in range(min(n_reps, 3)):
                 t0 = time.perf_counter()
                 solve_rvir(grid, centers, rgtp, thr, survey=survey)
                 d1.append(time.perf_counter() - t0)
         finally:
             del os.environ["SO_TPU_PIPELINE"]
         # Both `depth1_wall - disp*rtt` and `pipelined_wall - rtt` are
-        # upper bounds on device time (the 6 chunk computations serialize
+        # upper bounds on device time (the chunk computations serialize
         # on one chip, so the pipelined wall still contains all of them
         # plus at least the final fetch; depth-1 round trips carry bigger
         # fetches than the tiny-probe rtt, so that bound is often looser).
@@ -149,7 +156,7 @@ def main():
 
     ok = int((res.code == 0).sum())
     rate = n_halos / solve_s
-    print(f"# particles={pos.shape[0]} halos={n_halos} ok={ok} "
+    print(f"# [{tag}] particles={pos.shape[0]} halos={n_halos} ok={ok} "
           f"codes={np.bincount(-res.code[res.code<=0], minlength=4).tolist()} "
           f"gen={gen_s:.1f}s grid={build_s:.1f}s (cold {build_cold_s:.1f}s) "
           f"warm={warm_s:.1f}s "
@@ -160,10 +167,19 @@ def main():
           f"device={jax.devices()[0].device_kind}",
           file=sys.stderr)
 
+    row = {
+        "tag": tag,
+        "particles": int(pos.shape[0]),
+        "halos": int(n_halos),
+        "solve_s": round(solve_s, 4),
+        "solves_per_sec": round(rate, 1),
+        "device_solves_per_sec": round(n_halos / max(dev_est, 1e-9), 1),
+        "dispatches": int(disp[-1]),
+    }
+
     # full pipeline (solve -> members+derived -> conflicts -> stats): the
     # end-to-end rate the reference's single wall-clock number compares to
-    e2e_s = e2e_rate = None
-    if os.environ.get("SO_BENCH_E2E", "1") != "0":
+    if do_e2e:
         from so_tpu.engine import SOParams, run_so
         from so_tpu.io.catalogs import GroupCatalog
         from so_tpu.io.tipsy import ParticleSet, TipsyHeader
@@ -191,23 +207,68 @@ def main():
             one_run()
             e2e_reps.append(time.perf_counter() - t0)
         e2e_s = min(e2e_reps)
-        e2e_rate = n_halos / e2e_s
-        print(f"# e2e: full pipeline {e2e_s:.3f}s = {e2e_rate:.0f} halos/s "
+        row["e2e_s"] = round(e2e_s, 4)
+        row["e2e_halos_per_sec"] = round(n_halos / e2e_s, 1)
+        print(f"# [{tag}] e2e: full pipeline {e2e_s:.3f}s = "
+              f"{n_halos / e2e_s:.0f} halos/s "
               f"(solve+members+derived+conflicts+stats)", file=sys.stderr)
 
+    # free this regime's device buffers before the next (the survey box's
+    # payload is ~1.7 GB; three live grids would crowd a 16 GB chip)
+    del grid, res
+    gc.collect()
+    return row
+
+
+def main():
+    import jax
+
+    # kernel compiles over the remote-TPU tunnel take minutes; persist them
+    if (jax.default_backend() != "cpu"
+            and not jax.config.jax_compilation_cache_dir):
+        # (CPU is excluded: this image's XLA:CPU AOT loader mis-reads its
+        # own cache entries; see tests/conftest.py)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/so_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    mode = os.environ.get("SO_BENCH_MODE", "all")
+    # explicit size overrides pin the run to ONE custom standard-shaped box
+    custom = ("SO_BENCH_PARTICLES" in os.environ
+              or "SO_BENCH_HALOS" in os.environ)
+    n_particles = int(os.environ.get("SO_BENCH_PARTICLES", 2 ** 21))
+    n_halos = int(os.environ.get("SO_BENCH_HALOS", 16384))
+    survey_std = True if os.environ.get("SO_BENCH_SURVEY") == "1" else None
+
+    rtt = measure_rtt()
+    rows = []
+    if mode in ("all", "standard", "e2e") or custom:
+        rows.append(bench_box("standard", n_particles, n_halos, survey_std,
+                              rtt, do_e2e=os.environ.get("SO_BENCH_E2E",
+                                                         "1") != "0"))
+    if mode in ("all", "dense") and not custom:
+        rows.append(bench_box("dense", 2 ** 23, 65536, survey_std, rtt,
+                              do_e2e=os.environ.get("SO_BENCH_E2E",
+                                                    "1") != "0"))
+    if mode in ("all", "survey") and not custom:
+        # 2^25-particle request clamps to ~46.1M with the >=24/halo floor;
+        # survey=None exercises the auto-gate (the production default)
+        rows.append(bench_box("survey", 2 ** 25, 1_000_000, survey_std,
+                              rtt, do_e2e=False))
+
+    head = rows[0]
     out = {
         "metric": "halo_rvir_solves_per_sec",
-        "value": round(rate, 1),
+        "value": head["solves_per_sec"],
         "unit": "solves/sec",
-        "vs_baseline": round(rate / NORTH_STAR, 4),
+        "vs_baseline": round(head["solves_per_sec"] / NORTH_STAR, 4),
+        "rows": rows,
     }
-    if os.environ.get("SO_BENCH_MODE") == "e2e" and e2e_rate is not None:
-        out = {
-            "metric": "e2e_pipeline_halos_per_sec",
-            "value": round(e2e_rate, 1),
-            "unit": "halos/sec",
-            "vs_baseline": round(e2e_rate / NORTH_STAR, 4),
-        }
+    if mode == "e2e" and "e2e_halos_per_sec" in head:
+        out.update(metric="e2e_pipeline_halos_per_sec",
+                   value=head["e2e_halos_per_sec"],
+                   unit="halos/sec",
+                   vs_baseline=round(head["e2e_halos_per_sec"] / NORTH_STAR,
+                                     4))
     print(json.dumps(out))
 
 

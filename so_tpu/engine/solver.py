@@ -604,15 +604,15 @@ def k_slab_max(nch: int) -> int:
     is therefore CHANNEL-AWARE: narrow windows (uniform-mass solves
     gather d2 only) reach K the wide fused windows cannot. On v5e
     (w_max = 4,210,688 B) that is nch=1 -> 2^20, nch=2 -> 2^19,
-    nch=3/4 -> 2^18, nch 5-8 -> 2^17. The BYTE budget is
-    hardware-proven (the w_max probe and the same-byte windows of
-    experiments/wide_window_probe.py at K=2^17, v5e 2026-08-19/20);
-    whether the K>2^17 SHAPES also compile on silicon is validated by
-    the per-nch maximal-window pass of the same probe — run it on the
-    device and check docs/RESULTS.md for the dated table before
-    trusting a new silicon revision. On a device whose probed budget
-    is smaller the ceiling scales down; it never scales above K=2^20
-    (larger-VMEM silicon gets no untested extrapolation)."""
+    nch=3/4 -> 2^18, nch 5-8 -> 2^17; every one of those maximal
+    windows is hardware-validated by the MAX_CONFIGS pass of
+    experiments/wide_window_probe.py (compile+run+bit-match vs the XLA
+    gather on v5e, 2026-08-20 — dated table in docs/RESULTS.md) on top
+    of the K=2^17 production configs and the byte-bound probes
+    (giant_kslab, w_max). Re-run the probe before trusting a new
+    silicon revision. On a device whose probed budget is smaller the
+    ceiling scales down; it never scales above K=2^20 (larger-VMEM
+    silicon gets no untested extrapolation)."""
     if _KSLAB_ENV is not None:
         return _KSLAB_ENV
     assert nch <= 8, nch

@@ -132,3 +132,70 @@ def load_solve_sharded(path: str, num_hosts: int,
     members = [m for p in parts for m in p[1]]
     centers = np.concatenate([p[2] for p in parts])
     return solve, members, centers
+
+
+def save_solve_segment(path: str, solve: SolveResult, members: list,
+                       centers: np.ndarray, digest: str = "") -> None:
+    """Per-host shard of a DISTRIBUTED run's post-members solve state
+    (parallel.driver.run_so_distributed): ``members`` entries are SegRows
+    (this host's segment rows of each halo's interior list, with their
+    global walk-order ranks) or None — the O(N/P) per-host form. The
+    replicated solve arrays are saved in every shard so each host can
+    resume from its own file alone; ``digest`` should mix the per-host
+    segment layout in (see run_so_distributed) so a resume with a
+    different process count or snapshot fails loudly."""
+    G = len(members)
+    have = np.zeros(G, bool)
+    n_full = np.zeros(G, np.int64)
+    off = np.zeros(G + 1, np.int64)
+    ranks_c, rows_c = [], []
+    for g, m in enumerate(members):
+        k = 0
+        if m is not None:
+            have[g] = True
+            n_full[g] = int(m.n)
+            k = m.rows.size
+            if k:
+                ranks_c.append(np.asarray(m.ranks, np.int64))
+                rows_c.append(np.asarray(m.rows, np.int64))
+        off[g + 1] = off[g] + k
+    cat = lambda xs: (np.concatenate(xs) if xs else np.zeros(0, np.int64))
+    np.savez_compressed(
+        path, version=FORMAT_VERSION, kind="segment", code=solve.code,
+        mvir=solve.mvir, rvir=solve.rvir, j=solve.j, d2cut=solve.d2cut,
+        vcm=solve.vcm, have=have, n_full=n_full, off=off,
+        ranks=cat(ranks_c), rows=cat(rows_c), centers=centers,
+        digest=digest)
+
+
+def load_solve_segment(path: str, expect_digest: str | None = None):
+    """Inverse of save_solve_segment: (SolveResult, SegRows-members list,
+    centers)."""
+    from .parallel.driver import SegRows
+
+    z = np.load(path)
+    if int(z["version"]) != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {int(z['version'])} != "
+                         f"{FORMAT_VERSION}")
+    if str(z.get("kind", "")) != "segment":
+        raise ValueError(f"{path} is not a distributed segment checkpoint")
+    if expect_digest is not None:
+        stored = str(z["digest"]) if "digest" in z else ""
+        if stored and stored != expect_digest:
+            raise ValueError(
+                f"checkpoint {path} was written for different inputs or "
+                f"a different segment layout (digest {stored[:12]}... != "
+                f"{expect_digest[:12]}...); refusing to resume")
+    solve = SolveResult(code=z["code"], mvir=z["mvir"], rvir=z["rvir"],
+                        j=z["j"], d2cut=z["d2cut"], vcm=z["vcm"])
+    have, n_full, off = z["have"], z["n_full"], z["off"]
+    ranks, rows = z["ranks"], z["rows"]
+    members = []
+    for g in range(have.shape[0]):
+        if not have[g]:
+            members.append(None)
+            continue
+        lo, hi = int(off[g]), int(off[g + 1])
+        members.append(SegRows(ranks=ranks[lo:hi], rows=rows[lo:hi],
+                               n=int(n_full[g])))
+    return solve, members, z["centers"]

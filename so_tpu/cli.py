@@ -391,14 +391,13 @@ def main(argv=None) -> int:
         # principle as the --mesh guard above
         sys.stderr.write("--deltas with --checkpoint is not supported yet\n")
         raise SystemExit(1)
-    if b_distributed and (mesh_shape is not None or checkpoint is not None):
+    if b_distributed and mesh_shape is not None:
         # --mesh is redundant under --distributed (the multi-controller
-        # driver builds its own multihost mesh from the process layout);
-        # checkpoint-resume has no distributed wiring yet — failing loudly
-        # beats a run the user believes is checkpointed but is not.
-        # --distributed --deltas IS supported (run_so_multi_distributed).
-        sys.stderr.write("--distributed cannot be combined with --mesh "
-                         "or --checkpoint\n")
+        # driver builds its own multihost mesh from the process layout).
+        # --distributed --deltas IS supported (run_so_multi_distributed),
+        # and --distributed --checkpoint saves/resumes per-host segment
+        # shards (parallel.driver: checkpoint.save_solve_segment).
+        sys.stderr.write("--distributed cannot be combined with --mesh\n")
         raise SystemExit(1)
     # --survey forces the classifier pre-pass; without the flag the engine
     # AUTO-gates it by sampling (engine/solver.py SURVEY_*), so dense

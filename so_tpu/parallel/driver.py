@@ -672,24 +672,76 @@ def run_so_distributed(snapshot_path: str, catalog, params,
                         parts_per_host, mark_mask, timer)
 
         t0 = _time.perf_counter()
-        with timer.phase("R_Delta solve (distributed)"):
-            solve = solver.solve_rvir(
-                grid_proxy(sgrid), centers, rgtp, params.threshold,
-                n_members=params.n_members,
-                stage_fn=dist_stage_fn(mesh, sgrid),
-                fused_stage_fn=dist_fused_stage_fn(mesh, sgrid),
-                classify_stage_fn=dist_classify_fn(mesh, sgrid),
-                survey=params.survey)
+        # --checkpoint under --distributed: each host snapshots its OWN
+        # post-members segment state (replicated solve arrays + SegRows
+        # member pieces, checkpoint.save_solve_segment) after the device
+        # phase; a rerun resumes every host straight into the host-side
+        # conflict/derived/writer phases. The digest mixes the per-host
+        # segment layout in, so resuming with a different snapshot,
+        # catalog, params, OR process layout fails loudly.
+        ck = params.checkpoint
+        ck_members = None
+        ck_path = digest = None
+        if ck is not None:
+            from ..checkpoint import input_digest
+
+            digest = input_digest(pset, centers, rgtp, params.threshold,
+                                  params.n_members, params.period,
+                                  params.center)
+            digest = (f"{digest}:seg{start}+{count}/{n_global}"
+                      f"@p{jax.process_index()}/{jax.process_count()}")
+            ck_path = f"{ck}.rank{jax.process_index()}" \
+                      f"-of-{jax.process_count()}.npz"
+            # all-or-nothing across hosts: a partial shard set means a
+            # died save — resuming some hosts while others re-solve
+            # would deadlock the collectives
+            from jax.experimental import multihost_utils
+            ex = np.array([float(os.path.exists(ck_path))], np.float64)
+            exs = np.atleast_2d(multihost_utils.process_allgather(ex))[:, 0]
+            if exs.any() and not exs.all():
+                raise RuntimeError(
+                    f"partial distributed checkpoint: shards exist on "
+                    f"{int(exs.sum())}/{exs.size} hosts — delete "
+                    f"{ck}.rank*.npz and rerun")
+            resume = bool(exs.all())
+        else:
+            resume = False
+
+        if resume:
+            from ..checkpoint import load_solve_segment
+
+            with timer.phase("checkpoint resume (segment)"):
+                solve, ck_members, ck_centers = load_solve_segment(
+                    ck_path, digest)
+                centers = np.asarray(ck_centers, np.float32)
+                catalog.pos = centers
+        else:
+            with timer.phase("R_Delta solve (distributed)"):
+                solve = solver.solve_rvir(
+                    grid_proxy(sgrid), centers, rgtp, params.threshold,
+                    n_members=params.n_members,
+                    stage_fn=dist_stage_fn(mesh, sgrid),
+                    fused_stage_fn=dist_fused_stage_fn(mesh, sgrid),
+                    classify_stage_fn=dist_classify_fn(mesh, sgrid),
+                    survey=params.survey)
 
         run = _post_solve(
             grid_proxy(sgrid), pset, catalog, centers, solve, params,
-            timer, fused_fn=dist_fused_members_fn(mesh, sgrid),
+            timer, members=ck_members,
+            fused_fn=dist_fused_members_fn(mesh, sgrid),
             derived_fn=dist_derived_fn(mesh, sgrid),
             vcm_fn=dist_vcm_fn(pset.vel * pset.mass[:, None], start),
             n_particles=n_global,
             stats_fn=dist_stats_fn(pset.mass, start),
             conflict_fn=dist_conflict_fn(start, count),
             member_filter=seg_member_filter(start, count))
+
+        if ck is not None and ck_members is None:
+            from ..checkpoint import save_solve_segment
+
+            with timer.phase("checkpoint save (segment)"):
+                save_solve_segment(ck_path, run.solve, run.members,
+                                   centers, digest=digest)
 
     run.solve_seconds = _time.perf_counter() - t0
     if params.verbose and jax.process_index() == 0:

@@ -9,7 +9,11 @@ Runs, each in a FRESH subprocess (platform/jit state is sticky):
      reference binary;
   3. scripts/compare_reference_zoom.py — at-scale zoom-in multi-species
      parity (hi-res gas/dark/star clumps in a heavy lo-res background,
-     the BASELINE.md ladder config the dark-only boxes don't cover).
+     the BASELINE.md ladder config the dark-only boxes don't cover);
+  4. scripts/compare_reference_giant.py — giant-tier parity (a
+     ~1.6e6-candidate mega-clump through the K>=2^18 slab tiers, the
+     K>k_slab XLA fallback and the uniform-mass whole-box terminal
+     stage, with dispatch-spy asserts that those paths fired).
 
 and appends a dated pass/fail + timing block to RESULTS_TPU.md, so every
 round leaves a committed on-device parity artifact instead of run-by-hand
@@ -61,6 +65,16 @@ def main(argv):
             ("reference_zoom",
              [sys.executable, os.path.join(HERE,
                                            "compare_reference_zoom.py")],
+             3600))
+        stages.append(
+            # giant-tier certification (VERDICT r4 item 7): ~1.6e6-candidate
+            # halos through the K>=2^18 slab tiers, the K>k_slab XLA
+            # fallback (general masses) and the whole-box terminal stage
+            # (uniform masses), with dispatch-spy asserts that those paths
+            # actually fired
+            ("reference_giant",
+             [sys.executable, os.path.join(HERE,
+                                           "compare_reference_giant.py")],
              3600))
 
     import jax   # device identity only; stages run in fresh processes

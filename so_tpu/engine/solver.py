@@ -375,14 +375,76 @@ def _classify_stage(grid: CellGrid, level: int, K: int, S: int,
         overflow = g.overflow
     n_in = jnp.isfinite(d2).sum(axis=1).astype(jnp.int32)
     if um is not None:
-        # the kk-nearest masses are all m on live slots, 0 on pad slots
-        d2k = -jax.lax.top_k(-d2, kk)[0]
-        mk = jnp.where(jnp.arange(kk, dtype=jnp.int32)[None, :]
-                       < n_in[:, None], jnp.float32(um), 0.0)
-    else:
-        d2k, mk = _classify_prefix(d2, mass, kk)
+        # uniform masses: the -2 verdict needs no nearest-hit prefix at
+        # all — it reduces to exact order-statistic COUNTS (see
+        # _classify_counts), dropping the lax.top_k that dominated the
+        # survey classify's device time on the 1e6-halo box
+        return _classify_counts(d2, n_in, overflow, thresholds, T,
+                                n_members, um)
+    d2k, mk = _classify_prefix(d2, mass, kk)
     return _classify_verdict(d2k, mk, n_in, overflow, thresholds, T,
                              n_members)
+
+
+def _classify_counts(d2, n_in, overflow, thresholds, T: int,
+                     n_members: int, um: float, psum=None):
+    """Counting form of the -1/-2 verdict for UNIFORM masses.
+
+    With every mass the same f32 value, the sorted cumulative mass at
+    slot i is the fixed ladder value cum(i) (serial-f32, order-free), so
+
+        rho(i) < thr  <=>  d2_(i) > Q_i,   Q_i = (cum(i)/((4/3)pi thr))^(2/3)
+                      <=>  count(d2 <= Q_i) <= i
+
+    — an order statistic over the candidate multiset, EXACT under any
+    tie order (counts are permutation-invariant, unlike a top_k prefix,
+    so this path needs no tie deferral). The -2 verdict
+    (pair_ok at the first eligible slot b1 = n_members-2, kd2.c:785-796)
+    becomes two counts per threshold:
+
+        count(d2 <= Q_b1) <= b1  AND  count(d2 <= Q_b1+1) <= b1+1
+        AND n_in >= n_members  (slot b1+1 inside the ball)
+
+    Knife edges: the full solve compares f32-rounded rho against thr, so
+    a d2 within a few ulp of Q_i can flip there. Each count is therefore
+    taken at Q_i*(1 +/- BAND); a halo is classified -2 only when the
+    verdict holds at the INCLUSIVE edge (certainly -2 even if every
+    band-interior candidate flips). Ambiguous halos simply stay
+    survivors and get the full solve's bit-exact verdict — identical
+    final output, a vanishing fraction of extra work.
+
+    ``psum``: cross-shard reduction for the sharded path — counts are
+    additive over particle shards (``n_in``/``overflow`` must arrive
+    already reduced), so the mesh variant psums four (B,) count vectors
+    instead of all_gathering kk-wide prefixes."""
+    BAND = 3e-5   # ~250 f32 ulps: covers the <=5-op rounding chain of
+    #               scan_sorted's rho plus this Q's own f32 evaluation
+    b1 = n_members - 2
+    # serial-f32 ladder prefix — the exact cum values scan_sorted sees
+    lad = np.cumsum(np.full(n_members, np.float32(um), np.float32))
+    m2_mask = jnp.zeros_like(n_in)
+    thresholds = jnp.atleast_1d(thresholds)
+
+    def cnt(q):
+        c = (d2 <= q).sum(axis=1).astype(jnp.int32)
+        return psum(c) if psum is not None else c
+
+    for t in range(T):
+        thr_t = thresholds[t]
+        q1 = (lad[b1] / (FOUR_THIRDS_PI * thr_t)) ** (2.0 / 3.0)
+        q2 = (lad[b1 + 1] / (FOUR_THIRDS_PI * thr_t)) ** (2.0 / 3.0)
+        c1 = cnt(q1 * (1.0 + BAND))
+        c2 = cnt(q2 * (1.0 + BAND))
+        # certainty guard at the exclusive edge: if shrinking Q by the
+        # band changes either count, a candidate sits in the ambiguous
+        # ring — defer to the full solve
+        c1l = cnt(q1 * (1.0 - BAND))
+        c2l = cnt(q2 * (1.0 - BAND))
+        is_m2 = ((c1 <= b1) & (c2 <= b1 + 1) & (c1 == c1l) & (c2 == c2l)
+                 & (n_in >= n_members))
+        m2_mask = m2_mask | (is_m2.astype(jnp.int32) << t)
+    w0 = n_in | (overflow.astype(jnp.int32) << 31)
+    return jnp.stack([w0, m2_mask], axis=1)
 
 
 def _classify_prefix(d2, mass, kk: int):

@@ -344,7 +344,8 @@ def classify_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
     hits is inside its own shard's kk-nearest. The verdict core is shared
     with the single-device path and is order-invariant (tie-deferral),
     so sharded verdicts are identical."""
-    from ..engine.solver import _classify_prefix, _classify_verdict
+    from ..engine.solver import (_classify_counts, _classify_prefix,
+                                 _classify_verdict)
 
     kk = min(K, max(16, n_members + 2))
 
@@ -353,19 +354,16 @@ def classify_stage_sharded(mesh: Mesh, sgrid: ShardedGrid, level: int,
     def body(sg: ShardedGrid, centers, radii, thrs):
         grid = sg.local_cellgrid()
         if um is not None:
-            # uniform mass: the merged kk-prefix masses are all m on live
-            # slots — no mass channel, no mass prefixes over ICI
+            # uniform mass: the counting verdict (solver._classify_counts)
+            # — counts are additive over particle shards, so four (B,)
+            # psums replace the kk-prefix all_gather + double top_k
             d2_l, n_in_l, ovf_l = _local_hits(grid, level, K, S, centers,
                                               radii, ())
-            d2k_l = -jax.lax.top_k(-d2_l, kk)[0]
-            d2_all = jax.lax.all_gather(d2k_l, "part", axis=1, tiled=True)
             n_in = jax.lax.psum(n_in_l, "part")
             overflow = jax.lax.psum(ovf_l.astype(jnp.int32), "part") > 0
-            d2k = -jax.lax.top_k(-d2_all, kk)[0]
-            mk = jnp.where(jnp.arange(kk, dtype=jnp.int32)[None, :]
-                           < n_in[:, None], jnp.float32(um), 0.0)
-            return _classify_verdict(d2k, mk, n_in, overflow, thrs, T,
-                                     n_members)
+            return _classify_counts(
+                d2_l, n_in, overflow, thrs, T, n_members, um,
+                psum=lambda c: jax.lax.psum(c, "part"))
         d2_l, mass_l, n_in_l, ovf_l = _local_hits(grid, level, K, S,
                                                   centers, radii, ("mass",))
         d2k_l, mk_l = _classify_prefix(d2_l, mass_l, kk)

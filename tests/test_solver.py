@@ -752,3 +752,64 @@ def test_whole_box_terminal_tier_bit_equal(monkeypatch):
         np.testing.assert_array_equal(mgot.d2cut[t].view(np.int32),
                                       single.d2cut.view(np.int32),
                                       err_msg=f"thr={thr_t}")
+
+
+def test_classify_counts_uniform_exact():
+    """_classify_counts (the top_k-free uniform-mass -2 verdict) must be
+    SOUND — it may flag -2 only where the full sorted f32 scan does —
+    and on off-knife-edge data must capture (nearly) the full -2 set;
+    ambiguous band cases defer (bit unset), never misclassify."""
+    import jax.numpy as jnp
+
+    from so_tpu.engine import solver
+
+    rng = np.random.default_rng(41)
+    B, K, nm = 256, 512, 8
+    m = np.float32(2.5e-6)
+    thr = np.float32(178.0)
+
+    d2 = rng.uniform(1e-6, 1e-2, (B, K)).astype(np.float32)
+    n_in = rng.integers(0, K, B).astype(np.int32)
+    for b in range(B):
+        d2[b, n_in[b]:] = np.inf
+        if b % 3 == 0 and n_in[b] > 20:
+            d2[b, 5:9] = d2[b, 5]          # ties at the decision slots
+    # a deliberate knife edge: a candidate EXACTLY at Q_{b1} must defer
+    lad = np.cumsum(np.full(nm, m, np.float32))
+    q1 = np.float32((lad[nm - 2] / (np.float32(4 / 3 * np.pi) * thr))
+                    ** (2.0 / 3.0))
+    d2[0, :K] = np.inf
+    d2[0, :20] = np.linspace(2 * q1, 3 * q1, 20, dtype=np.float32)
+    d2[0, 3] = q1                           # sits exactly on the edge
+    n_in[0] = 20
+
+    out = np.asarray(solver._classify_counts(
+        jnp.asarray(d2), jnp.asarray(n_in),
+        jnp.zeros(B, bool), jnp.asarray([thr]), 1, nm, float(m)))
+    got_m2 = (out[:, 1] & 1) > 0
+    np.testing.assert_array_equal(out[:, 0] & 0x7FFFFFFF, n_in)
+
+    # oracle: the full sorted scan's -2 verdict in numpy float32 (the
+    # exact ops of scan_sorted's uniform path)
+    d2s = np.sort(d2, axis=1)
+    slot = np.arange(K)[None, :]
+    ladK = np.cumsum(np.full(K, m, np.float32))
+    cum = ladK[None, :].repeat(B, 0)
+    r3 = (d2s * np.sqrt(d2s)).astype(np.float32)
+    rho = (cum / (np.float32(4 / 3 * np.pi) * r3)).astype(np.float32)
+    rho_next = np.concatenate(
+        [rho[:, 1:], np.full((B, 1), np.inf, np.float32)], axis=1)
+    pair_ok = ((rho < thr) & (rho_next < thr)
+               & (slot + 1 < n_in[:, None]) & (slot >= nm - 2))
+    found = pair_ok.any(axis=1)
+    jstar = pair_ok.argmax(axis=1)
+    want_m2 = found & (jstar == nm - 2)
+
+    # soundness: no halo flagged -2 that the full scan would not flag
+    assert not (got_m2 & ~want_m2).any()
+    # the knife-edge row defers
+    assert not got_m2[0]
+    # effectiveness: deferral is rare on generic data
+    missed = int((want_m2 & ~got_m2).sum())
+    assert missed <= max(2, int(0.02 * want_m2.sum())), \
+        (missed, int(want_m2.sum()))

@@ -287,9 +287,12 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                     r_pad = np.zeros(Bw, np.float32)
                     c_pad[:part.size] = centers[part]
                     r_pad[:part.size] = radii_w[lo:lo + part.size]
+                    t0 = _solver._pc()
                     arr = np.asarray(_solver._whole_box_multi_stage(
                         grid, lad, n_members, T, jnp.asarray(c_pad),
                         jnp.asarray(r_pad), thr_dev))
+                    _solver._dbg_stage("multi-wbox", t0, B=Bw, K=grid.n,
+                                       n=part.size)
                     _apply_block(part, arr)
                 continue
             k_eff0 = np.minimum(cur_k[sel0], kmax[sel0])
@@ -305,9 +308,12 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                 r_pad = np.zeros(B, np.float32)
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = radii[lo:lo + chunk]
+                t0 = _solver._pc()
                 arr = np.asarray(stage_fn(
                     level, K, S, n_members, T,
                     jnp.asarray(c_pad), jnp.asarray(r_pad)))
+                _solver._dbg_stage("multi-stage", t0, B=B, K=K, S=S,
+                                   level=level, n=part.size)
                 _apply_block(part, arr)
     return MultiSolveResult(code=code, mvir=mvir, rvir=rvir, j=jout,
                             d2cut=d2cut)

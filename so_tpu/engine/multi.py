@@ -192,6 +192,35 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
     # (see solver.solve_rvir — same tier, multi-threshold scan block)
     wbox = not injected and grid.uniform_mass is not None
 
+    # capacity presize from a one-dispatch footprint probe: the multi
+    # engine has no fused tier, so an overflowing halo would otherwise
+    # ladder its capacity x4 per ROUND, each round a full re-gather of
+    # every live halo (the 512^3 multi run spent 431 s against 3x31 s of
+    # single-threshold solves, /tmp/scale512_r5.log 2026-08-20). The
+    # probe's CHUNK-aligned totals size each halo's first dispatch right;
+    # a residual underestimate (per-halo bucketing may pick a different
+    # level) costs one classic x4 round exactly as before. Capacity
+    # never changes results (the sorted prefix is padding-invariant), so
+    # the multi==single equality contract is untouched.
+    if not injected and getattr(grid, "soa8t", None) is not None \
+            and G >= 1024 and not resolved.all():
+        live0 = np.nonzero(~resolved.all(axis=0))[0]
+        radii0 = ladder_radius(rgtp[live0],
+                               np.minimum(cur_k[live0], kmax[live0]))
+        g0, S0 = _pick_level_span(grid, float(radii0.max()), s_max)
+        Bp = _pad_b(live0.size, 4096)
+        c_pad = np.zeros((Bp, 3), np.float32)
+        r_pad = np.full(Bp, 1e-30, np.float32)
+        c_pad[:live0.size] = centers[live0]
+        r_pad[:live0.size] = radii0
+        foot = np.asarray(_solver._foot_stage(
+            grid, g0, S0, jnp.asarray(c_pad),
+            jnp.asarray(r_pad)))[:live0.size]
+        cap_max = max(2 * _k_limit(grid, s_max), k0_cap)
+        cur_cap[live0] = np.maximum(cur_cap[live0], np.minimum(
+            2 ** np.ceil(np.log2(np.maximum(foot, 1))).astype(np.int64),
+            cap_max))
+
     def _apply_block(part, arr):
         """One round of verdicts + escalation from a (T+1, B, 5) stage
         block — shared by the gather and whole-box dispatch paths (the
@@ -266,6 +295,19 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                     cur_cap[sub] = cur_cap[sub].max()
             else:
                 cur_cap[live] = cur_cap[live].max()
+
+        # pipeline depth 2 across the round's dispatches (disjoint halo
+        # sets; _apply_block only touches its own halos' state) — flushed
+        # before the while condition re-reads `resolved`, exactly like
+        # solve_rvir's rounds
+        mpend = None
+
+        def m_apply(part, B, K, S, level, t0, out):
+            arr = np.asarray(out)
+            _solver._dbg_stage("multi-stage", t0, B=B, K=K, S=S,
+                               level=level, n=part.size)
+            _apply_block(part, arr)
+
         for capacity in np.unique(cur_cap[live]):
             sel0 = live[cur_cap[live] == capacity]
             K = int(min(capacity, _k_limit(grid, s_max)))
@@ -309,11 +351,16 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                 c_pad[:part.size] = centers[part]
                 r_pad[:part.size] = radii[lo:lo + chunk]
                 t0 = _solver._pc()
-                arr = np.asarray(stage_fn(
-                    level, K, S, n_members, T,
-                    jnp.asarray(c_pad), jnp.asarray(r_pad)))
-                _solver._dbg_stage("multi-stage", t0, B=B, K=K, S=S,
-                                   level=level, n=part.size)
-                _apply_block(part, arr)
+                out = stage_fn(level, K, S, n_members, T,
+                               jnp.asarray(c_pad), jnp.asarray(r_pad))
+                nxt = (part, B, K, S, level, t0, out)
+                if not _solver._pipelined():
+                    m_apply(*nxt)
+                    continue
+                if mpend is not None:
+                    m_apply(*mpend)
+                mpend = nxt
+        if mpend is not None:
+            m_apply(*mpend)
     return MultiSolveResult(code=code, mvir=mvir, rvir=rvir, j=jout,
                             d2cut=d2cut)

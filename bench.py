@@ -87,10 +87,24 @@ def bench_box(tag, n_particles, n_halos, survey, rtt, do_e2e, seed=12345):
         # 1-element fetch is the reliable device sync
         np.asarray(jax.device_get(a[..., :1]))
 
-    rng = np.random.default_rng(seed)
     t0 = time.perf_counter()
-    pos, mass, vel, centers, rgtp = make_box(rng, n_particles, n_halos)
+    # the per-halo gen loop costs ~2 ms/halo (30+ min at 1e6 halos), so
+    # big boxes cache to /tmp keyed by their full recipe — the same file
+    # scale512/compare_reference_512 share for the 512^3 box
+    cache = (f"/tmp/so_bench_box_{n_particles}_{n_halos}_{seed}.npz"
+             if n_particles >= (1 << 24) or n_halos >= (1 << 18) else None)
+    if cache is not None and os.path.exists(cache):
+        d = np.load(cache)
+        pos, mass, vel = d["pos"], d["mass"], d["vel"]
+        centers, rgtp = d["centers"], d["rgtp"]
+    else:
+        rng = np.random.default_rng(seed)
+        pos, mass, vel, centers, rgtp = make_box(rng, n_particles, n_halos)
+        if cache is not None:
+            np.savez(cache, pos=pos, mass=mass, vel=vel, centers=centers,
+                     rgtp=rgtp)
     gen_s = time.perf_counter() - t0
+    rng = np.random.default_rng(seed + 1)   # catalog-mass draws (e2e)
 
     def timed_build():
         t0 = time.perf_counter()

@@ -706,12 +706,73 @@ SURVEY_FRAC = 0.25
 # level groups costs more than the smaller sort tiers save
 BUCKET_MIN = 2048
 
+# span sub-bucket quantization ladder: each distinct S is a distinct
+# (slow, remote) kernel compile, so per-halo spans round UP to these
+SPAN_LADDER = (2, 3, 5, 7, 9, 11)
+# marginal device cost per (halo x candidate cell) of a slab dispatch:
+# both the cell enumeration AND the kernel's descriptor walk scale with
+# S^3 — measured (279-62) ms / (16384 halos x (7^3-3^3) cells) on the
+# 46.1M-particle survey box (/tmp/classify_probe.log 2026-08-20, v5e).
+# Used only to decide whether a span sub-bucket pays for its dispatch.
+_SPAN_CELL_S = 4e-8
+# a sub-bucket must save at least ~2 tunnel round-trips of device time
+_SPAN_MIN_SAVE_S = 0.05
+
+
+def _span_subgroups(grid, g: int, S_g: int, radii: np.ndarray,
+                    b: np.ndarray, s_max: int):
+    """Split one level group into per-halo-span sub-buckets.
+
+    A level group's S was the max covering span over its members, so in a
+    mixed-radius catalog the many small halos paid the few big halos'
+    S^3 cell walk (survey box: 1e6 halos at S=7 when the median needs
+    S=3 — 279 vs 62 ms per 16k-halo classify dispatch). Each sub-bucket
+    dispatches at the smallest ladder span covering every member, so hit
+    sets are unchanged (the span only prunes cells the ball cannot
+    intersect); sub-buckets that would not save ~2 round-trips of
+    estimated device time merge upward into the next span. Returns
+    [(g, S, positions)] partitioning ``b``. SO_TPU_SPAN_SPLIT=0 disables
+    (single group at S_g) for A/B runs."""
+    if os.environ.get("SO_TPU_SPAN_SPLIT", "1") == "0" or b.size == 0:
+        return [(g, S_g, b)]
+    cap = min(s_max, grid.ncell(g))
+    cs = float(np.asarray(grid.period, np.float32).min()) / grid.ncell(g)
+    # per-halo covering need — the same truncation as _span_at
+    need = (2.0 * np.asarray(radii[b], np.float64) / cs).astype(np.int64) + 2
+    need = np.maximum(np.minimum(need, cap), 1)
+    qs = np.full(b.size, S_g, np.int64)
+    for s in reversed([s for s in SPAN_LADDER if s < S_g]):
+        qs[need <= s] = s
+    uq = np.unique(qs)
+    if uq.size == 1:
+        return [(g, S_g, b)]
+    groups = [(int(s), np.nonzero(qs == s)[0]) for s in uq]
+    out = []
+    pend = None
+    for i, (s, pos) in enumerate(groups):
+        if pend is not None:
+            pos = np.concatenate([pend, pos])
+            pend = None
+        if i + 1 < len(groups):
+            nxt = groups[i + 1][0]
+            save = pos.size * (nxt ** 3 - s ** 3) * _SPAN_CELL_S
+            if save < _SPAN_MIN_SAVE_S:
+                pend = pos
+                continue
+        # ascending original order inside each bucket: a fully-merged
+        # group is then dispatch-identical to the unsplit baseline (and
+        # tier-2 eligibility windows see halos in catalog order)
+        out.append((g, s, b[np.sort(pos)]))
+    return out
+
 
 def _level_groups(grid, radii: np.ndarray, s_max: int, K: int,
                   lam: float | None = None):
     """[(level, S, member-positions)] for one dispatch round: per-halo
     trap-avoiding levels (_bucket_levels) when the round is big enough to
-    amortize extra dispatches, else the single legacy level. ``lam`` is
+    amortize extra dispatches, else the single legacy level; each level
+    group further splits into per-halo-span sub-buckets when that saves
+    device time (_span_subgroups). ``lam`` is
     the measured local-density correction (_calibrate_lambda); the
     default None reads the grid's cached calibration from the solve pass
     (solve_rvir sets grid._lam_cache), so the members/derived/fused
@@ -723,8 +784,8 @@ def _level_groups(grid, radii: np.ndarray, s_max: int, K: int,
         out = []
         for g in np.unique(lv):
             b = np.nonzero(lv == g)[0]
-            out.append((int(g), _span_at(grid, int(g),
-                                         float(radii[b].max()), s_max), b))
+            S_g = _span_at(grid, int(g), float(radii[b].max()), s_max)
+            out.extend(_span_subgroups(grid, int(g), S_g, radii, b, s_max))
         return out
     level, S = _pick_level_span(grid, float(radii.max()) if radii.size
                                 else 1e-30, s_max)

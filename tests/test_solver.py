@@ -275,6 +275,89 @@ def test_level_bucketing_matches_single_level(monkeypatch):
     np.testing.assert_array_equal(got.d2cut, want.d2cut)
 
 
+def test_span_subgroups_partition_and_coverage():
+    """_span_subgroups must (a) exactly partition the level group, (b)
+    give every halo a span >= its own covering need (exactness: a span
+    only prunes cells the ball cannot intersect), (c) never exceed the
+    group span, and (d) collapse to one group when splitting saves no
+    estimated device time."""
+    from so_tpu.engine import solver
+
+    class Proxy:
+        m = 6
+        period = np.ones(3, np.float32)
+
+        def ncell(self, g):
+            return 1 << (6 - g)
+
+    grid = Proxy()
+    rng = np.random.default_rng(3)
+    # mixed radii at level 2 (16 cells/axis, cs = 1/16): needs 2..7
+    radii = np.concatenate([
+        rng.uniform(0.001, 0.01, 6000),     # need 2
+        rng.uniform(0.04, 0.08, 3000),      # need 3-4
+        rng.uniform(0.15, 0.17, 500),       # need 7 (group max)
+    ]).astype(np.float64)
+    b = np.arange(radii.size)
+    S_g = solver._span_at(grid, 2, float(radii.max()), 7)
+    assert S_g == 7
+    groups = solver._span_subgroups(grid, 2, S_g, radii, b, 7)
+    allpos = np.concatenate([p for _, _, p in groups])
+    assert np.array_equal(np.sort(allpos), b)          # exact partition
+    cs = 1.0 / 16
+    for g, S, pos in groups:
+        assert g == 2 and S <= S_g
+        need = np.minimum((2.0 * radii[pos] / cs).astype(np.int64) + 2, 7)
+        assert (need <= S).all(), (S, need.max())
+    assert len(groups) >= 2                            # genuinely split
+    # uniform-radius group: no split regardless of size
+    one = solver._span_subgroups(grid, 2, 3,
+                                 np.full(10000, 0.01), b[:10000], 7)
+    assert len(one) == 1 and one[0][1] == 3
+    # tiny group: the estimated saving cannot pay for a dispatch
+    tiny = solver._span_subgroups(grid, 2, S_g, radii[:64], b[:64], 7)
+    assert len(tiny) == 1 and tiny[0][1] == S_g
+
+
+def test_span_split_solve_bit_identical(monkeypatch):
+    """Span sub-bucketing is a pure perf optimization: forcing every
+    sub-bucket to split (zero min-save) must keep solve_rvir outputs
+    bit-identical to the unsplit dispatch (SO_TPU_SPAN_SPLIT=0)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_clumpy_box
+
+    from so_tpu.engine import solver
+    from so_tpu.ops import build_grid
+
+    rng = np.random.default_rng(99)
+    d = make_clumpy_box(rng, n_background=8000, clumps=[
+        dict(center=(0.2, 0.2, 0.2), n=2000, rmax=0.06, mass_total=0.25),
+        dict(center=(-0.3, -0.3, 0.1), n=1500, rmax=0.03, mass_total=0.1)])
+    grid = build_grid(d["pos"], d["mass"], m=4, pallas=True)
+    rng2 = np.random.default_rng(5)
+    centers = rng2.uniform(-0.5, 0.5, (96, 3)).astype(np.float32)
+    rgtp = rng2.choice([0.003, 0.05, 0.15, 0.3], 96).astype(np.float32)
+    monkeypatch.setenv("SO_TPU_SPAN_SPLIT", "0")
+    want = solver.solve_rvir(grid, centers, rgtp, 200.0, survey=False)
+    monkeypatch.delenv("SO_TPU_SPAN_SPLIT")
+    monkeypatch.setattr(solver, "BUCKET_MIN", 1)
+    monkeypatch.setattr(solver, "_SPAN_MIN_SAVE_S", 0.0)
+    # the tiny catalog must genuinely split somewhere: check directly
+    groups = solver._level_groups(grid, rgtp * np.float32(1.2), 7, 4096,
+                                  lam=1.0)
+    assert len({(g, S) for g, S, _ in groups}) >= 2, groups
+    got = solver.solve_rvir(grid, centers, rgtp, 200.0, survey=False)
+    np.testing.assert_array_equal(got.code, want.code)
+    np.testing.assert_array_equal(got.mvir, want.mvir)
+    np.testing.assert_array_equal(got.rvir, want.rvir)
+    np.testing.assert_array_equal(got.j, want.j)
+    np.testing.assert_array_equal(got.d2cut, want.d2cut)
+    np.testing.assert_array_equal(got.vcm, want.vcm)
+
+
 def test_bucket_levels_dense_box_model():
     """The level cost model on a synthetic dense-box proxy (34M particles,
     m=6, chunk=128 — the 1e6-halo box of docs/RESULTS.md): with the

@@ -221,10 +221,12 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
             2 ** np.ceil(np.log2(np.maximum(foot, 1))).astype(np.int64),
             cap_max))
 
-    def _apply_block(part, arr):
+    def _apply_block(part, arr, dk=DK):
         """One round of verdicts + escalation from a (T+1, B, 5) stage
         block — shared by the gather and whole-box dispatch paths (the
-        whole-box rows always carry overflow=0)."""
+        whole-box rows always carry overflow=0). ``dk`` is the round's
+        grow-ball ladder step (any step sequence yields identical
+        results — the scan's first crossing is rung-path-independent)."""
         n_in = arr[T, :part.size, 0]
         ovf = arr[T, :part.size, 1].astype(bool)
         found = arr[:T, :part.size, 0].astype(bool)  # (T, b)
@@ -266,20 +268,33 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
             jout[t, idx] = jstar[t, su]
             resolved[t, idx] = True
 
+        def _never_skip_ks(old, new):
+            """Try the slab ceiling before exceeding it (x4 growth from
+            2^19 skips ks=2^20 straight into the whole-box tier — see
+            solver.apply_round's twin)."""
+            return np.where((old < ks) & (new > ks), ks, new)
+
         halo_done = resolved[:, part].all(axis=0)
         rest = ~halo_done
         grow_cap = rest & ovf
-        cur_cap[part[grow_cap]] = np.minimum(
-            cur_cap[part[grow_cap]] * 4,
-            max(2 * _k_limit(grid, s_max), k0_cap))
+        cur_cap[part[grow_cap]] = _never_skip_ks(
+            cur_cap[part[grow_cap]], np.minimum(
+                cur_cap[part[grow_cap]] * 4,
+                max(2 * _k_limit(grid, s_max), k0_cap)))
+        # at-ceiling halos step finely to stay on the slab path — see
+        # solver.apply_round's twin (443 halos/pass once fell into 2-s
+        # whole-box sorts from a dk=8 jump, /tmp/scale512_r5i.log)
         grow_ball = rest & ~ovf & ~at_cap_k
         gi = part[grow_ball]
-        cur_k[gi] = np.minimum(cur_k[gi] + DK, kmax[gi])
-        vol_ratio = int(np.ceil(1.2 ** (3 * DK)))
+        dkv = np.where(cur_cap[gi] >= ks, min(dk, 2), dk)
+        cur_k[gi] = np.minimum(cur_k[gi] + dkv, kmax[gi])
+        vol_ratio = np.ceil(
+            np.float64(1.2) ** (3 * dkv)).astype(np.int64)
         est = (n_in[grow_ball].astype(np.int64) + 64) * vol_ratio
-        cur_cap[gi] = np.maximum(cur_cap[gi], np.minimum(
-            2 ** np.ceil(np.log2(np.maximum(est, 1))).astype(np.int64),
-            max(2 * _k_limit(grid, s_max), k0_cap)))
+        cur_cap[gi] = _never_skip_ks(cur_cap[gi], np.maximum(
+            cur_cap[gi], np.minimum(
+                2 ** np.ceil(np.log2(np.maximum(est, 1))).astype(np.int64),
+                max(2 * _k_limit(grid, s_max), k0_cap))))
 
     guard = 0
     while not resolved.all():
@@ -287,14 +302,28 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
         if guard > 200:
             raise RuntimeError("multi-threshold solver escalation runaway")
         live = np.nonzero(~resolved.all(axis=0))[0]
+        # banded capacity unification (see solve_rvir's twin and its
+        # measured rationale): full unify for one-dispatch tails, x16
+        # band otherwise — the unbanded unify dragged 14.7k
+        # footprint-presized halos into K=2^20 sort lanes (461 dispatches
+        # of the 512^3 multi run, /tmp/scale512_r5c.log), while no unify
+        # at all pushes slow-resolving giants into 2-s whole-box sorts
         if guard > 1 and live.size:
-            if wbox:
-                kl = _k_limit(grid, s_max)
-                sub = live[np.minimum(cur_cap[live], kl) <= ks]
-                if sub.size:
-                    cur_cap[sub] = cur_cap[sub].max()
-            else:
-                cur_cap[live] = cur_cap[live].max()
+            kl = _k_limit(grid, s_max)
+            sub = live[np.minimum(cur_cap[live], kl) <= ks] if wbox \
+                else live
+            if sub.size:
+                capu = cur_cap[sub].max()
+                if sub.size <= _chunk_for(int(min(capu, kl)), slot_budget,
+                                          ks):
+                    cur_cap[sub] = capu
+                else:
+                    band = sub[cur_cap[sub] * 16 > capu]
+                    cur_cap[band] = capu
+        # fine ladder steps for large tails were measured AND REJECTED
+        # (see solve_rvir's dk_f note: repeated overflows laddered caps
+        # past the slab ceiling into the whole-box tier)
+        dk_round = DK
 
         # pipeline depth 2 across the round's dispatches (disjoint halo
         # sets; _apply_block only touches its own halos' state) — flushed
@@ -302,11 +331,11 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
         # solve_rvir's rounds
         mpend = None
 
-        def m_apply(part, B, K, S, level, t0, out):
+        def m_apply(part, B, K, S, level, t0, out, dk):
             arr = np.asarray(out)
             _solver._dbg_stage("multi-stage", t0, B=B, K=K, S=S,
                                level=level, n=part.size)
-            _apply_block(part, arr)
+            _apply_block(part, arr, dk)
 
         for capacity in np.unique(cur_cap[live]):
             sel0 = live[cur_cap[live] == capacity]
@@ -335,7 +364,7 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                         jnp.asarray(r_pad), thr_dev))
                     _solver._dbg_stage("multi-wbox", t0, B=Bw, K=grid.n,
                                        n=part.size)
-                    _apply_block(part, arr)
+                    _apply_block(part, arr, dk_round)
                 continue
             k_eff0 = np.minimum(cur_k[sel0], kmax[sel0])
             radii0 = ladder_radius(rgtp[sel0], k_eff0)
@@ -353,7 +382,7 @@ def solve_rvir_multi(grid: CellGrid, centers, rgtp, thresholds,
                 t0 = _solver._pc()
                 out = stage_fn(level, K, S, n_members, T,
                                jnp.asarray(c_pad), jnp.asarray(r_pad))
-                nxt = (part, B, K, S, level, t0, out)
+                nxt = (part, B, K, S, level, t0, out, dk_round)
                 if not _solver._pipelined():
                     m_apply(*nxt)
                     continue

@@ -1027,6 +1027,16 @@ def _chunk_for(K: int, slot_budget: int, k_slab: int | None = None) -> int:
     return max(1, min(16384, min(slot_budget, 1 << 26) // K))
 
 
+# above this K the batch pad switches to finer buckets: a 32->256
+# bucket pad at K=2^19 is 87% wasted sort work and an n=128 chunk padded
+# to 256 doubles it (each padded row costs a K-wide sort lane — the
+# 512^3 runs' 343-772 ms giant-tier dispatches, /tmp/scale512_r5c.log).
+# The bucket floor of 32 (not pow2ceil) bounds the compile count: each
+# distinct B at a giant K is a multi-minute remote compile (a fresh
+# B=128/K=2^18 shape cost 604 s in /tmp/scale512_r5f.log).
+_PAD_FINE_K = 1 << 17
+
+
 def _pad_b(n: int, K: int, k_slab: int | None = None) -> int:
     """Batch pad bucket; giant-K tiers keep B tiny so B*K slot buffers
     stay within HBM (no minimum pad: an 8-halo pad of a B=1/K=2^23
@@ -1034,6 +1044,10 @@ def _pad_b(n: int, K: int, k_slab: int | None = None) -> int:
     scale-run OOM, 2026-08-20)."""
     if K > (K_SLAB_MAX if k_slab is None else k_slab):
         return max(1, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    if K >= _PAD_FINE_K:
+        # 512 tops the ladder: _chunk_for caps chunks at 512 for K=2^17
+        # (the smallest K here), so no chunk outgrows the buckets
+        return _pad_to_bucket(n, buckets=(32, 64, 128, 256, 512))
     return _pad_to_bucket(n)
 
 
@@ -1216,11 +1230,14 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                 pass
     lam = 1.0 if lam is None else lam
 
-    def apply_round(part, ints, flts, k_now, cap_now):
+    def apply_round(part, ints, flts, k_now, cap_now, dk=DK):
         """One round of the reference's regrow decisions (kd2.c:745-839)
         for a batch of halos, given their stage outputs. Mutates the
         enclosing per-halo state arrays; identical whether the stage ran
-        as its own dispatch or as a pass of the fused program."""
+        as its own dispatch or as a pass of the fused program. ``dk`` is
+        the ladder step for the grow-ball escalation (any step sequence
+        yields identical results — the scan's first crossing is
+        rung-path-independent; see the module docstring)."""
         if part.size == 0:
             return
         n_in = ints[:, 0]
@@ -1262,25 +1279,45 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         d2cut[idx] = o_d2c[is_succ]
         resolved[idx] = True
 
+        def _never_skip_ks(old, new):
+            """A capacity escalation must TRY the slab ceiling before
+            exceeding it: x4 growth from 2^19 is 2^21, skipping the
+            ks=2^20 tier — halos whose footprint fits 2^20 then fell
+            through to the whole-box tier (2 s per halo at 512^3: 294
+            wbox dispatches instead of ~32, /tmp/scale512_r5g.log)."""
+            return np.where((old < ks) & (new > ks), ks, new)
+
         # escalation for the rest
         rest = ~(is_m1 | is_m2 | is_succ | is_m3)
         # overflow (or -1 undecided under overflow): more capacity,
         # same radius — mirrors smGrowList (smooth2.c:49-55)
         grow_cap = rest & ovf
-        cur_cap[part[grow_cap]] = np.minimum(
-            np.asarray(cap_now, np.int64)[grow_cap] * 4
-            if np.ndim(cap_now) else int(cap_now) * 4, k_cap_max)
-        # no overflow, nothing found, ladder not exhausted: grow ball
+        cur_cap[part[grow_cap]] = _never_skip_ks(
+            cur_cap[part[grow_cap]], np.minimum(
+                np.asarray(cap_now, np.int64)[grow_cap] * 4
+                if np.ndim(cap_now) else int(cap_now) * 4, k_cap_max))
+        # no overflow, nothing found, ladder not exhausted: grow ball.
+        # Halos already AT the slab ceiling step finely (dk=2): a dk=8
+        # jump grows their gather volume ~80x, off the slab path into
+        # the 2-second whole-box sort, when their crossing is typically
+        # 1-2 rungs out — 443 halos/pass fell that way in the 512^3
+        # multi run (/tmp/scale512_r5i.log). Fine steps keep them in
+        # K=2^20 slab dispatches; the truly giant remainder still
+        # overflows to the terminal whole-box tier.
         grow_ball = rest & ~ovf & ~at_cap_k
         gi = part[grow_ball]
-        cur_k[gi] = np.minimum(cur_k[gi] + DK, kmax[gi])
+        dkv = np.where(cur_cap[gi] >= ks, min(dk, 2), dk)
+        cur_k[gi] = np.minimum(cur_k[gi] + dkv, kmax[gi])
         # pre-size capacity for the larger ball from observed density
-        vol_ratio = int(np.ceil(1.2 ** (3 * DK)))
+        vol_ratio = np.ceil(
+            np.float64(1.2) ** (3 * dkv)).astype(np.int64)
         est = (n_in[grow_ball].astype(np.int64) + 64) * vol_ratio
-        cur_cap[gi] = np.maximum(cur_cap[gi],
-                                 np.minimum(2 ** np.ceil(np.log2(
-                                     np.maximum(est, 1))).astype(np.int64),
-                                     k_cap_max))
+        cur_cap[gi] = _never_skip_ks(
+            cur_cap[gi],
+            np.maximum(cur_cap[gi],
+                       np.minimum(2 ** np.ceil(np.log2(
+                           np.maximum(est, 1))).astype(np.int64),
+                           k_cap_max)))
         if progress is not None:
             progress(resolved.sum(), G)
 
@@ -1379,6 +1416,15 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         K2 = int(min(ks, _k_limit(grid, s_max), 8 * K))
         B2 = fused_b2   # tier-2 rows per dispatch; halos beyond this
         #                 spill into the classic escalation rounds
+        # ladder step for the spill halos' growth (tier-2 itself steps DK
+        # on device). A finer step for big spill populations was measured
+        # AND REJECTED on the 512^3 box (/tmp/scale512_r5f.log): dk=2's
+        # tight x3 volume presize makes intermediate rungs overflow
+        # repeatedly, laddering caps x4 past the slab ceiling — the
+        # whole-box tier exploded from 32 to 379 two-second dispatches.
+        # The dk=8 jump OVER-gathers (x80 volume) but lands most halos at
+        # their crossing in one round with a presize that covers it.
+        dk_f = DK
         k_eff_l = np.minimum(cur_k[live], kmax[live])
         radii_l = ladder_radius(rgtp[live], k_eff_l)
         fpend = None
@@ -1400,10 +1446,10 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
             mask1 = np.ones(part.size, bool)
             mask1[ids_l] = False
             apply_round(part[mask1], ints1[mask1], flts1[mask1],
-                        k_eff_sl[mask1], K)
+                        k_eff_sl[mask1], K, dk_f)
             ints2, flts2 = unpack_stage_out(p2[ok2][:, :5])
             apply_round(part[ids_l], ints2, flts2,
-                        k_eff_sl[ids_l] + steps[ok2], K2)
+                        k_eff_sl[ids_l] + steps[ok2], K2, dk_f)
 
         for level, S, b in _level_groups(grid, radii_l, s_max, K, lam):
             sel = live[b]
@@ -1474,31 +1520,50 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
         if guard > 200:
             raise RuntimeError("solver failed to converge (escalation runaway)")
         live = np.nonzero(~resolved)[0]
-        # unify the capacity tier across the round: the tail population is
-        # small, so one shared dispatch beats per-tier program switches.
+        # unify the capacity tier across the round: fully when the tail
+        # fits one dispatch at the unified capacity (tiny tails share one
+        # program), otherwise only within a x16 band of the max — halos
+        # further below keep their own presized caps. Both halves are
+        # measured: dropping unification entirely sent ~150 halos/pass
+        # through 2-s whole-box sorts (their crossing resolves EARLY at
+        # an inflated-cap big-K dispatch under unification, before their
+        # ladder radii balloon past the slab ceiling —
+        # /tmp/scale512_r5h.log), while unbanded unification dragged
+        # 14.7k presized small halos into K=2^20 sort lanes (461
+        # dispatches of the 512^3 multi run, /tmp/scale512_r5c.log).
         # With the whole-box terminal tier in play, unify only WITHIN the
         # gather tiers: lifting sub-ceiling halos into a giant tier would
         # drag them through full-box sorts they don't need (and the giant
         # halos are terminal in one wbox dispatch anyway)
         if guard > 1 and live.size:
-            if wbox:
-                kl = _k_limit(grid, s_max)
-                sub = live[np.minimum(cur_cap[live], kl) <= ks]
-                if sub.size:
-                    cur_cap[sub] = cur_cap[sub].max()
-            else:
-                cur_cap[live] = cur_cap[live].max()
+            kl = _k_limit(grid, s_max)
+            sub = live[np.minimum(cur_cap[live], kl) <= ks] if wbox \
+                else live
+            if sub.size:
+                capu = cur_cap[sub].max()
+                if sub.size <= _chunk_for(int(min(capu, kl)), slot_budget,
+                                          ks):
+                    cur_cap[sub] = capu
+                else:
+                    band = sub[cur_cap[sub] * 16 > capu]
+                    cur_cap[band] = capu
+        # ladder step for this round's grow-ball escalations. dk=2 for
+        # large tails was measured AND REJECTED (see dk_f above): the
+        # overshoot of dk=8 is what keeps overflow rounds rare and halos
+        # off the whole-box tier.
+        dk_round = DK
         caps = np.unique(cur_cap[live])
         # pipeline depth 2 across the round's dispatches (disjoint halo
         # sets; apply_round only touches its own halos) — flushed before
         # the while condition re-reads `resolved`
         spend = None
 
-        def stage_apply(part, B, K, k_eff_sl, t0, level, S, rmax, packed):
+        def stage_apply(part, B, K, k_eff_sl, t0, level, S, rmax, packed,
+                        dk):
             ints, flts = unpack_stage_out(np.asarray(packed)[:part.size])
             _dbg_stage("stage", t0, B=B, K=K, S=S, level=level,
                        n=part.size, rmax=rmax)
-            apply_round(part, ints, flts, k_eff_sl, K)
+            apply_round(part, ints, flts, k_eff_sl, K, dk)
 
         for capacity in caps:
             sel0 = live[cur_cap[live] == capacity]
@@ -1536,7 +1601,7 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                     ints, flts = unpack_stage_out(np.asarray(packed)[:nb])
                     _dbg_stage("wbox", t0, B=Bw, K=grid.n, n=nb)
                     apply_round(part, ints, flts, k_dst[lo:lo + nb],
-                                grid.n)
+                                grid.n, dk_round)
                 continue
             k_eff0 = np.minimum(cur_k[sel0], kmax[sel0])
             radii0 = ladder_radius(rgtp[sel0], k_eff0)
@@ -1551,7 +1616,8 @@ def solve_rvir(grid: CellGrid, centers: np.ndarray, rgtp: np.ndarray,
                                       jnp.asarray(c_pad),
                                       jnp.asarray(r_pad), thr32)
                     nxt = (part, B, K, k_eff[lo:lo + part.size], t0,
-                           level, S, f"{float(r_pad.max()):.4g}", packed)
+                           level, S, f"{float(r_pad.max()):.4g}", packed,
+                           dk_round)
                     if not _pipelined():
                         stage_apply(*nxt)
                         continue
